@@ -1,0 +1,43 @@
+"""Baseline U-Net for depth (`src/models/baseline_unet.h:122-208`).
+
+RGB (B, H, W, 3) -> depth (B, H, W, 1) in [0, max_depth] via
+sigmoid * max_depth. 4-level encoder (f..8f) + bottleneck (16f) +
+4-level decoder with skip connections.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from cadepth_tpu.models.layers import DoubleConv, EncoderBlock, DecoderBlock
+
+
+class BaselineUNet(nn.Module):
+    in_channels: int = 3
+    init_features: int = 64
+    max_depth: float = 10.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, rgb, train: bool = False):
+        f = self.init_features
+        x = rgb.astype(self.dtype)
+
+        skip1 = DoubleConv(f, self.dtype, name="enc1")(x, train)
+        skip2 = EncoderBlock(f * 2, self.dtype, name="enc2")(skip1, train)
+        skip3 = EncoderBlock(f * 4, self.dtype, name="enc3")(skip2, train)
+        skip4 = EncoderBlock(f * 8, self.dtype, name="enc4")(skip3, train)
+
+        x = EncoderBlock(f * 16, self.dtype, name="bottleneck")(skip4, train)
+
+        x = DecoderBlock(f * 8, self.dtype, name="dec4")(x, skip4, train)
+        x = DecoderBlock(f * 4, self.dtype, name="dec3")(x, skip3, train)
+        x = DecoderBlock(f * 2, self.dtype, name="dec2")(x, skip2, train)
+        x = DecoderBlock(f, self.dtype, name="dec1")(x, skip1, train)
+
+        x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
+            x.astype(jnp.float32))
+        return nn.sigmoid(x) * self.max_depth

@@ -1,0 +1,208 @@
+"""Geometry-aware depth networks (`src/models/geometry_aware_network.h`).
+
+The flagship model family: ray-direction input channels, FiLM
+conditioning everywhere, Perspective Correction Layers in the decoder,
+and CBAM attention. Full variant is 5 encoder levels to a 32f
+bottleneck (`geometry_aware_network.h:201-394`); the lightweight variant
+is 4 levels at 32 features (`:402-473`).
+
+Rays are avg-pooled per decoder scale (factors 16/8/4/2/1 for the full
+variant, `geometry_aware_network.h:310-316`) on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cadepth_tpu.geometry.intrinsics import normalize_k4
+from cadepth_tpu.models.attention import CBAM
+from cadepth_tpu.models.film import FiLMLayer
+from cadepth_tpu.models.layers import pad_to_match
+from cadepth_tpu.models.pcl import PerspectiveCorrectionLayer
+from cadepth_tpu.ops.resize import avg_pool2d
+
+
+class RayEnhancedConv(nn.Module):
+    """Conv block with optional ray-channel concat + FiLM
+    (`geometry_aware_network.h:17-67`): [x; rays] -> conv-BN-ReLU ->
+    FiLM -> conv-BN-ReLU."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, camera_params,
+                 ray_directions: Optional[jax.Array] = None,
+                 train: bool = False):
+        if ray_directions is not None:
+            x = jnp.concatenate(
+                [x, ray_directions.astype(x.dtype)], axis=-1)
+        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="bn1")(x)
+        x = nn.relu(x)
+        x = FiLMLayer(self.features, dtype=self.dtype, name="film")(
+            x, camera_params, train)
+        x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name="bn2")(x)
+        return nn.relu(x)
+
+
+class GeometryEncoderBlock(nn.Module):
+    """MaxPool -> RayEnhancedConv -> optional CBAM (`geometry_aware_network.h:74-105`)."""
+
+    features: int
+    use_attention: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, camera_params,
+                 ray_directions: Optional[jax.Array] = None,
+                 train: bool = False):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = RayEnhancedConv(self.features, self.dtype, name="conv")(
+            x, camera_params, ray_directions, train)
+        if self.use_attention:
+            x = CBAM(self.features, dtype=self.dtype, name="attention")(x)
+        return x
+
+
+class GeometryDecoderBlock(nn.Module):
+    """UpConv -> PCL -> pad -> concat skip -> RayEnhancedConv -> CBAM
+    (`geometry_aware_network.h:112-170`). PCL sees the upsampled features
+    and the scale-matched rays."""
+
+    features: int
+    use_pcl: bool = True
+    use_attention: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip, camera_params,
+                 ray_directions: Optional[jax.Array] = None,
+                 train: bool = False):
+        x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
+                             dtype=self.dtype, name="up")(x)
+        if self.use_pcl:
+            x = PerspectiveCorrectionLayer(
+                self.features, dtype=self.dtype, name="pcl")(
+                    x, camera_params, ray_directions, train)
+        x = pad_to_match(x, skip)
+        x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+        x = RayEnhancedConv(self.features, self.dtype, name="conv")(
+            x, camera_params, None, train)
+        if self.use_attention:
+            x = CBAM(self.features, dtype=self.dtype, name="attention")(x)
+        return x
+
+
+class GeometryAwareNetwork(nn.Module):
+    """Full 5-level geometry-aware network (`geometry_aware_network.h:201-394`).
+
+    Inputs: rgb (B, H, W, 3), ray_directions (B, H, W, 3),
+    camera_intrinsics (B, 4) in pixels. H and W must be divisible by 32.
+    """
+
+    in_channels: int = 3
+    init_features: int = 64
+    camera_dim: int = 4
+    max_depth: float = 10.0
+    use_pcl: bool = True
+    use_attention: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, rgb, ray_directions, camera_intrinsics,
+                 train: bool = False):
+        f = self.init_features
+        h, w = rgb.shape[1], rgb.shape[2]
+        cam = normalize_k4(camera_intrinsics, width=w, height=h)
+        x = rgb.astype(self.dtype)
+        rays = ray_directions
+
+        skip1 = RayEnhancedConv(f, self.dtype, name="enc1")(x, cam, rays, train)
+        skip2 = GeometryEncoderBlock(f * 2, self.use_attention, self.dtype,
+                                     name="enc2")(skip1, cam, None, train)
+        skip3 = GeometryEncoderBlock(f * 4, self.use_attention, self.dtype,
+                                     name="enc3")(skip2, cam, None, train)
+        skip4 = GeometryEncoderBlock(f * 8, self.use_attention, self.dtype,
+                                     name="enc4")(skip3, cam, None, train)
+        skip5 = GeometryEncoderBlock(f * 16, self.use_attention, self.dtype,
+                                     name="enc5")(skip4, cam, None, train)
+
+        x = GeometryEncoderBlock(f * 32, self.use_attention, self.dtype,
+                                 name="bottleneck")(skip5, cam, None, train)
+
+        # Decoder rays at factors 16/8/4/2/1 (`geometry_aware_network.h:310-316`).
+        x = GeometryDecoderBlock(f * 16, self.use_pcl, self.use_attention,
+                                 self.dtype, name="dec5")(
+            x, skip5, cam, avg_pool2d(rays, 16), train)
+        x = GeometryDecoderBlock(f * 8, self.use_pcl, self.use_attention,
+                                 self.dtype, name="dec4")(
+            x, skip4, cam, avg_pool2d(rays, 8), train)
+        x = GeometryDecoderBlock(f * 4, self.use_pcl, self.use_attention,
+                                 self.dtype, name="dec3")(
+            x, skip3, cam, avg_pool2d(rays, 4), train)
+        x = GeometryDecoderBlock(f * 2, self.use_pcl, self.use_attention,
+                                 self.dtype, name="dec2")(
+            x, skip2, cam, avg_pool2d(rays, 2), train)
+        x = GeometryDecoderBlock(f, self.use_pcl, self.use_attention,
+                                 self.dtype, name="dec1")(
+            x, skip1, cam, rays, train)
+
+        x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
+            x.astype(jnp.float32))
+        return nn.sigmoid(x) * self.max_depth
+
+
+class LightweightGeometryNetwork(nn.Module):
+    """4-level, 32-feature variant (`geometry_aware_network.h:402-473`).
+
+    Decoder rays at factors 8/4/2/1. H and W must be divisible by 16.
+    """
+
+    in_channels: int = 3
+    init_features: int = 32
+    camera_dim: int = 4
+    max_depth: float = 10.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, rgb, ray_directions, camera_intrinsics,
+                 train: bool = False):
+        f = self.init_features
+        h, w = rgb.shape[1], rgb.shape[2]
+        cam = normalize_k4(camera_intrinsics, width=w, height=h)
+        x = rgb.astype(self.dtype)
+        rays = ray_directions
+
+        skip1 = RayEnhancedConv(f, self.dtype, name="enc1")(x, cam, rays, train)
+        skip2 = GeometryEncoderBlock(f * 2, True, self.dtype, name="enc2")(
+            skip1, cam, None, train)
+        skip3 = GeometryEncoderBlock(f * 4, True, self.dtype, name="enc3")(
+            skip2, cam, None, train)
+        skip4 = GeometryEncoderBlock(f * 8, True, self.dtype, name="enc4")(
+            skip3, cam, None, train)
+
+        x = GeometryEncoderBlock(f * 16, True, self.dtype, name="bottleneck")(
+            skip4, cam, None, train)
+
+        x = GeometryDecoderBlock(f * 8, True, True, self.dtype, name="dec4")(
+            x, skip4, cam, avg_pool2d(rays, 8), train)
+        x = GeometryDecoderBlock(f * 4, True, True, self.dtype, name="dec3")(
+            x, skip3, cam, avg_pool2d(rays, 4), train)
+        x = GeometryDecoderBlock(f * 2, True, True, self.dtype, name="dec2")(
+            x, skip2, cam, avg_pool2d(rays, 2), train)
+        x = GeometryDecoderBlock(f, True, True, self.dtype, name="dec1")(
+            x, skip1, cam, rays, train)
+
+        x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
+            x.astype(jnp.float32))
+        return nn.sigmoid(x) * self.max_depth

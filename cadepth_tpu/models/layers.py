@@ -1,0 +1,79 @@
+"""U-Net building blocks (NHWC, flax.linen).
+
+Parity target: `src/models/baseline_unet.h` blocks. Convs compute in
+`dtype` (bf16 by default on TPU) with fp32 params; BatchNorm statistics
+are always fp32 for stability. Under jit-SPMD data parallelism the
+batch reductions inside BatchNorm are global (XLA inserts the
+cross-replica collectives), which is the sync-BN behavior the reference
+could not have (single device).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class DoubleConv(nn.Module):
+    """Conv3x3 -> BN -> ReLU -> Conv3x3 -> BN -> ReLU (`baseline_unet.h:14-44`)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(2):
+            x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name=f"conv{i + 1}")(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                             name=f"bn{i + 1}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class EncoderBlock(nn.Module):
+    """MaxPool2 -> DoubleConv (`baseline_unet.h:51-66`)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return DoubleConv(self.features, self.dtype, name="conv")(x, train)
+
+
+def pad_to_match(x, skip):
+    """Zero-pad `x` spatially to the skip connection's H/W.
+
+    Mirrors the decoder pad-fix for odd input sizes
+    (`baseline_unet.h:88-95`): left/top gets diff//2, right/bottom the rest.
+    """
+    diff_h = skip.shape[1] - x.shape[1]
+    diff_w = skip.shape[2] - x.shape[2]
+    if diff_h > 0 or diff_w > 0:
+        x = jnp.pad(
+            x,
+            ((0, 0),
+             (max(diff_h // 2, 0), max(diff_h - diff_h // 2, 0)),
+             (max(diff_w // 2, 0), max(diff_w - diff_w // 2, 0)),
+             (0, 0)),
+        )
+    return x
+
+
+class DecoderBlock(nn.Module):
+    """ConvTranspose2(s2) -> pad-fix -> concat skip -> DoubleConv (`baseline_unet.h:73-104`)."""
+
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = False):
+        x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
+                             dtype=self.dtype, name="up")(x)
+        x = pad_to_match(x, skip)
+        x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
+        return DoubleConv(self.features, self.dtype, name="conv")(x, train)

@@ -1,0 +1,119 @@
+"""Perspective Correction Layers (`src/layers/pcl_layer.h`).
+
+STN-style camera-conditioned feature warping. The 6-parameter head is
+identity-initialized (zero kernel, bias [1, 1, 0, 0, 0, 0] —
+`pcl_layer.h:64-66`) so the layer starts as a no-op; warping uses the
+torch-parity `affine_grid`/`grid_sample` from
+:mod:`cadepth_tpu.ops.grid_sample` (align_corners=False + zeros padding,
+matching `pcl_layer.h:101-108`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from cadepth_tpu.ops.grid_sample import affine_grid, grid_sample
+
+
+def _build_affine_matrix(params: jax.Array) -> jax.Array:
+    """(B, 6) -> (B, 2, 3) affine θ.
+
+    Layout per `PerspectiveCorrectionLayerImpl::buildAffineMatrix`
+    (`pcl_layer.h:152-179`):
+      [[sx*cos(r), -sin(r)+shear, tx],
+       [sin(r),     sy*cos(r),    ty]]
+    """
+    sx, sy = params[:, 0], params[:, 1]
+    tx, ty = params[:, 2], params[:, 3]
+    rot, shear = params[:, 4], params[:, 5]
+    cos_r = jnp.cos(rot)
+    sin_r = jnp.sin(rot)
+    row0 = jnp.stack([sx * cos_r, -sin_r + shear, tx], axis=-1)
+    row1 = jnp.stack([sin_r, sy * cos_r, ty], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+class PerspectiveCorrectionLayer(nn.Module):
+    """Learned affine re-sampling conditioned on K (`pcl_layer.h:29-181`)."""
+
+    feature_channels: int
+    camera_dim: int = 4
+    hidden_dim: int = 128
+    dtype: Any = jnp.bfloat16
+
+    def _transform(self, features, camera_intrinsics, train: bool):
+        b = features.shape[0]
+        pooled = jnp.mean(features, axis=(1, 2)).astype(jnp.float32)  # (B, C)
+        loc_in = jnp.concatenate(
+            [pooled, camera_intrinsics.astype(jnp.float32)], axis=-1)
+        h = nn.relu(nn.Dense(self.hidden_dim, dtype=jnp.float32,
+                             name="loc_fc1")(loc_in))
+        h = nn.relu(nn.Dense(self.hidden_dim, dtype=jnp.float32,
+                             name="loc_fc2")(h))
+        params = nn.Dense(
+            6,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.asarray(
+                [1.0, 1.0, 0.0, 0.0, 0.0, 0.0], dtype),
+            dtype=jnp.float32,
+            name="fc_transform",
+        )(h)
+        theta = _build_affine_matrix(params)
+        grid = affine_grid(theta, features.shape[1], features.shape[2],
+                           align_corners=False)
+        return grid_sample(features, grid, padding_mode="zeros",
+                           align_corners=False)
+
+    @nn.compact
+    def __call__(self, features, camera_intrinsics,
+                 ray_directions: Optional[jax.Array] = None,
+                 train: bool = False):
+        """features (B,H,W,C), K4 (B,4), optional rays (B,H,W,3).
+
+        With rays, applies the 3D-aware viewing-angle gating of
+        `forward3D` (`pcl_layer.h:118-140`): features scaled by
+        0.5 + 0.5*|ray_z|.
+        """
+        corrected = self._transform(features, camera_intrinsics, train)
+        if ray_directions is not None:
+            weight = jnp.abs(ray_directions[..., 2:3]).astype(corrected.dtype)
+            corrected = corrected * (0.5 + 0.5 * weight)
+        return corrected
+
+
+class Perspective3DTransformer(nn.Module):
+    """Ray-displaced warping with per-pixel depth offsets (`pcl_layer.h:193-279`)."""
+
+    feature_channels: int
+    camera_dim: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features, camera_intrinsics, ray_directions,
+                 train: bool = False):
+        b, h, w, _ = features.shape
+        depth_offset = jnp.tanh(
+            nn.Conv(1, (1, 1), dtype=jnp.float32, name="depth_pred")(
+                features.astype(jnp.float32)))  # (B, H, W, 1) in [-1, 1]
+
+        pooled = jnp.mean(features, axis=(1, 2)).astype(jnp.float32)
+        loc_in = jnp.concatenate(
+            [pooled, camera_intrinsics.astype(jnp.float32)], axis=-1)
+        hdn = nn.relu(nn.Dense(128, dtype=jnp.float32, name="loc_fc1")(loc_in))
+        translation = nn.Dense(
+            3, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=jnp.float32, name="loc_fc2")(hdn)  # (B, 3) = [tx, ty, tz]
+
+        rays = ray_directions.astype(jnp.float32)
+        dx = depth_offset * rays[..., 0:1] + translation[:, None, None, 0:1]
+        dy = depth_offset * rays[..., 1:2] + translation[:, None, None, 1:2]
+
+        # Normalized displacement grid; border padding + align_corners=True
+        # per `pcl_layer.h:262-274`.
+        grid = jnp.concatenate([dx / (w / 2.0), dy / (h / 2.0)], axis=-1)
+        return grid_sample(features, grid, padding_mode="border",
+                           align_corners=True)

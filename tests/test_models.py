@@ -1,0 +1,239 @@
+"""Model family tests, mirroring the reference's tests/test_models.cpp:
+shape/range tests, conditioning sensitivity, gradient flow — plus
+identity-at-init checks that the reference could not express."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cadepth_tpu.models import (
+    FiLMLayer,
+    CBAM,
+    DepthSpatialAttention,
+    CameraAwareSpatialAttention,
+    PerspectiveCorrectionLayer,
+    Perspective3DTransformer,
+    BaselineUNet,
+    IntrinsicsConditionedUNet,
+    IntrinsicsAttentionUNet,
+    GeometryAwareNetwork,
+    LightweightGeometryNetwork,
+    create_model,
+    count_parameters,
+)
+from cadepth_tpu.models.factory import model_inputs
+from cadepth_tpu.geometry import ray_grid_batch
+
+B, H, W = 2, 32, 32
+MAX_DEPTH = 10.0
+
+
+def make_inputs(rng, b=B, h=H, w=W):
+    rgb = jnp.asarray(rng.uniform(0, 1, size=(b, h, w, 3)).astype(np.float32))
+    k = np.tile(np.array([[[300.0, 0, w / 2], [0, 300.0, h / 2], [0, 0, 1]]],
+                         np.float32), (b, 1, 1))
+    k4 = jnp.asarray(np.stack([k[:, 0, 0], k[:, 1, 1], k[:, 0, 2], k[:, 1, 2]], -1))
+    rays = ray_grid_batch(jnp.asarray(k), h, w)
+    return rgb, rays, k4
+
+
+def init_and_apply(model, rng, *args, **kwargs):
+    variables = model.init(jax.random.PRNGKey(0), *args, **kwargs)
+    out = model.apply(variables, *args, **kwargs)
+    return variables, out
+
+
+# ---- layers ----
+
+def test_film_shapes_and_modulation(rng):
+    feats = jnp.asarray(rng.normal(size=(B, 8, 8, 16)).astype(np.float32))
+    cam = jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32))
+    film = FiLMLayer(feature_channels=16, dtype=jnp.float32)
+    variables, out = init_and_apply(film, rng, feats, cam)
+    assert out.shape == feats.shape
+    # gamma near 1, beta near 0 at init (identity-init heads with 0.01-std
+    # kernels, film_layer.h:67-71): mean modulation stays near identity.
+    gamma, beta = film.apply(variables, cam, method=FiLMLayer.get_modulation_params)
+    assert gamma.shape == (B, 16) and beta.shape == (B, 16)
+    assert abs(float(jnp.mean(gamma)) - 1.0) < 0.5
+    assert abs(float(jnp.mean(beta))) < 0.5
+    # modulation differs from identity (test_models.cpp FiLM case)
+    assert np.abs(np.asarray(out) - np.asarray(feats)).max() > 1e-6
+
+
+def test_film_different_camera_different_output(rng):
+    feats = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    film = FiLMLayer(feature_channels=16, dtype=jnp.float32)
+    cam1 = jnp.ones((2, 4))
+    cam2 = jnp.ones((2, 4)) * 3.0
+    variables = film.init(jax.random.PRNGKey(1), feats, cam1)
+    out1 = film.apply(variables, feats, cam1)
+    out2 = film.apply(variables, feats, cam2)
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-6
+
+
+def test_cbam_shape(rng):
+    x = jnp.asarray(rng.normal(size=(B, 16, 16, 32)).astype(np.float32))
+    cbam = CBAM(channels=32, dtype=jnp.float32)
+    variables, out = init_and_apply(cbam, rng, x)
+    assert out.shape == x.shape
+    ch_att, sp_att = cbam.apply(variables, x, method=CBAM.get_attention_maps)
+    assert ch_att.shape == (B, 1, 1, 32)
+    assert sp_att.shape == (B, 16, 16, 1)
+    assert (np.asarray(ch_att) >= 0).all() and (np.asarray(ch_att) <= 1).all()
+
+
+def test_depth_spatial_attention_shape(rng):
+    x = jnp.asarray(rng.normal(size=(B, 16, 16, 32)).astype(np.float32))
+    mod = DepthSpatialAttention(channels=32, dtype=jnp.float32)
+    _, out = init_and_apply(mod, rng, x)
+    assert out.shape == (B, 16, 16, 1)
+    assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+def test_camera_aware_spatial_attention_shape(rng):
+    x = jnp.asarray(rng.normal(size=(B, 16, 16, 32)).astype(np.float32))
+    cam = jnp.ones((B, 4))
+    mod = CameraAwareSpatialAttention(channels=32, dtype=jnp.float32)
+    _, out = init_and_apply(mod, rng, x, cam)
+    assert out.shape == (B, 16, 16, 1)
+
+
+def test_pcl_identity_at_init(rng):
+    # Identity-init transform head (pcl_layer.h:64-66) + identity affine grid
+    # => output equals input at initialization.
+    x = jnp.asarray(rng.normal(size=(B, 16, 16, 8)).astype(np.float32))
+    k4 = jnp.asarray(rng.uniform(0.5, 1.5, size=(B, 4)).astype(np.float32))
+    pcl = PerspectiveCorrectionLayer(feature_channels=8, dtype=jnp.float32)
+    _, out = init_and_apply(pcl, rng, x, k4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
+
+
+def test_pcl_ray_gating(rng):
+    x = jnp.ones((1, 8, 8, 4), jnp.float32)
+    k4 = jnp.ones((1, 4))
+    rays = jnp.zeros((1, 8, 8, 3))
+    rays = rays.at[..., 2].set(1.0)  # |ray_z| = 1 -> gate = 1.0
+    pcl = PerspectiveCorrectionLayer(feature_channels=4, dtype=jnp.float32)
+    variables = pcl.init(jax.random.PRNGKey(0), x, k4, rays)
+    out = pcl.apply(variables, x, k4, rays)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-4)
+    rays0 = rays.at[..., 2].set(0.0)  # gate = 0.5
+    out0 = pcl.apply(variables, x, k4, rays0)
+    np.testing.assert_allclose(np.asarray(out0), 0.5, atol=1e-4)
+
+
+def test_perspective_3d_transformer_shape(rng):
+    x = jnp.asarray(rng.normal(size=(B, 16, 16, 8)).astype(np.float32))
+    k4 = jnp.ones((B, 4))
+    rays = jnp.asarray(rng.normal(size=(B, 16, 16, 3)).astype(np.float32))
+    mod = Perspective3DTransformer(feature_channels=8, dtype=jnp.float32)
+    _, out = init_and_apply(mod, rng, x, k4, rays)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+
+# ---- models ----
+
+def test_baseline_unet_shape_and_range(rng):
+    rgb, _, _ = make_inputs(rng)
+    model = BaselineUNet(init_features=8, dtype=jnp.float32)
+    _, out = init_and_apply(model, rng, rgb)
+    assert out.shape == (B, H, W, 1)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= MAX_DEPTH).all()
+
+
+def test_baseline_unet_param_count_matches_reference():
+    # Reference reports ~31M params at init_features=64 (README.md:711).
+    model = BaselineUNet(init_features=64, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    n = count_parameters(variables["params"])
+    assert 30e6 < n < 32e6, n
+
+
+def test_intrinsics_unet_conditioning_sensitivity(rng):
+    # Different K must produce different depth (test_models.cpp:248-288).
+    rgb, _, k4 = make_inputs(rng)
+    model = IntrinsicsConditionedUNet(init_features=8, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), rgb, k4)
+    out1 = model.apply(variables, rgb, k4)
+    out2 = model.apply(variables, rgb, k4 * 2.0)
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-7
+    assert out1.shape == (B, H, W, 1)
+
+
+def test_intrinsics_attention_unet_shape(rng):
+    rgb, _, k4 = make_inputs(rng)
+    model = IntrinsicsAttentionUNet(init_features=8, dtype=jnp.float32)
+    _, out = init_and_apply(model, rng, rgb, k4)
+    assert out.shape == (B, H, W, 1)
+
+
+def test_geometry_aware_network_shape(rng):
+    rgb, rays, k4 = make_inputs(rng)
+    model = GeometryAwareNetwork(init_features=4, dtype=jnp.float32)
+    _, out = init_and_apply(model, rng, rgb, rays, k4)
+    assert out.shape == (B, H, W, 1)
+    o = np.asarray(out)
+    assert (o >= 0).all() and (o <= MAX_DEPTH).all()
+
+
+def test_lightweight_geometry_network_shape(rng):
+    rgb, rays, k4 = make_inputs(rng)
+    model = LightweightGeometryNetwork(init_features=4, dtype=jnp.float32)
+    _, out = init_and_apply(model, rng, rgb, rays, k4)
+    assert out.shape == (B, H, W, 1)
+
+
+def test_gradient_flow_geometry_aware(rng):
+    # Full fwd+bwd; some parameter gradient must be nonzero
+    # (test_models.cpp:514-558).
+    rgb, rays, k4 = make_inputs(rng, b=1)
+    model = GeometryAwareNetwork(init_features=4, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), rgb, rays, k4, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": batch_stats}, rgb, rays, k4,
+            train=True, mutable=["batch_stats"])
+        return jnp.mean((out - 5.0) ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
+
+
+def test_factory_all_architectures(rng):
+    rgb, rays, k4 = make_inputs(rng, b=1)
+    batch = {"rgb": rgb, "rays": rays, "k4": k4}
+    for arch in ("baseline_unet", "intrinsics_unet", "intrinsics_attention_unet",
+                 "geometry_aware", "geometry_aware_lightweight"):
+        model = create_model(arch, init_features=4, dtype=jnp.float32)
+        args, kwargs = model_inputs(arch, batch)
+        variables = model.init(jax.random.PRNGKey(0), *args, **kwargs)
+        out = model.apply(variables, *args, **kwargs)
+        assert out.shape == (1, H, W, 1), arch
+
+
+def test_factory_unknown_raises():
+    with pytest.raises(ValueError):
+        create_model("not_a_model")
+
+
+def test_models_jit_with_bf16(rng):
+    rgb, rays, k4 = make_inputs(rng, b=1)
+    model = GeometryAwareNetwork(init_features=4, dtype=jnp.bfloat16)
+    variables = model.init(jax.random.PRNGKey(0), rgb, rays, k4)
+
+    @jax.jit
+    def fwd(v, r, ry, k):
+        return model.apply(v, r, ry, k)
+
+    out = fwd(variables, rgb, rays, k4)
+    assert out.dtype == jnp.float32  # output head is fp32
+    assert np.isfinite(np.asarray(out)).all()
