@@ -1,0 +1,20 @@
+from cadepth_tpu.data.manifest import (
+    ValidationResult,
+    SunRGBDValidator,
+    save_manifest,
+    load_manifest,
+)
+from cadepth_tpu.data.sunrgbd import AugmentationConfig, SunRGBDLoader
+from cadepth_tpu.data.synthetic import generate_synthetic_dataset
+from cadepth_tpu.data.pipeline import InputPipeline
+
+__all__ = [
+    "ValidationResult",
+    "SunRGBDValidator",
+    "save_manifest",
+    "load_manifest",
+    "AugmentationConfig",
+    "SunRGBDLoader",
+    "generate_synthetic_dataset",
+    "InputPipeline",
+]

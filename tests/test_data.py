@@ -1,0 +1,228 @@
+"""Data pipeline tests against the synthetic SUN RGB-D fixture
+(hermetic — the reference's loader test required the real dataset)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from cadepth_tpu.data import (
+    SunRGBDValidator,
+    save_manifest,
+    load_manifest,
+    AugmentationConfig,
+    SunRGBDLoader,
+    generate_synthetic_dataset,
+    InputPipeline,
+)
+from cadepth_tpu.data.manifest import print_summary
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sunrgbd_fixture")
+    manifest_path = generate_synthetic_dataset(root, images_per_sensor=3,
+                                               with_rays=True)
+    return str(root), manifest_path
+
+
+def make_loader(dataset, **kwargs):
+    root, manifest = dataset
+    defaults = dict(target_height=48, target_width=64)
+    defaults.update(kwargs)
+    return SunRGBDLoader(f"{root}/sunrgbd", manifest, **defaults)
+
+
+def test_validator_on_fixture(dataset, tmp_path):
+    root, _ = dataset
+    validator = SunRGBDValidator(f"{root}/sunrgbd")
+    results = validator.validate_all_images()
+    assert len(results) == 12
+    assert all(r.is_valid for r in results)
+    summary = print_summary(results)
+    assert "Valid images: 12/12" in summary
+    out = tmp_path / "manifest.json"
+    manifest = save_manifest(results, str(out))
+    # schema parity with validate_sunrgbd.cpp:273-313
+    saved = json.loads(out.read_text())
+    for key in ("dataset", "total_images", "valid_images", "sensor_counts", "images"):
+        assert key in saved
+    assert saved["valid_images"] == 12
+    assert set(saved["sensor_counts"]) == {"kv1", "kv2", "realsense", "xtion"}
+    img = saved["images"][0]
+    for key in ("path", "sensor_type", "has_intrinsics", "has_rgb", "has_depth",
+                "has_extrinsics", "has_scene_info", "rgb_resolution",
+                "depth_resolution", "valid"):
+        assert key in img
+    assert manifest["valid_images"] == 12
+
+
+def test_validator_flags_corrupt_intrinsics(dataset, tmp_path):
+    import shutil
+    root, _ = dataset
+    bad_root = tmp_path / "bad"
+    shutil.copytree(f"{root}/sunrgbd", bad_root)
+    victim = sorted((bad_root / "kv1").iterdir())[0]
+    (victim / "intrinsics.txt").write_text("-5 0 32 0 48 24 0 0 1\n")
+    results = SunRGBDValidator(str(bad_root)).validate_all_images()
+    invalid = [r for r in results if not r.is_valid]
+    assert len(invalid) == 1
+    assert "focal" in invalid[0].errors[0]
+
+
+def test_loader_sample_shapes_and_ranges(dataset):
+    loader = make_loader(dataset)
+    assert len(loader) == 12
+    s = loader.get_sample(0)
+    assert s["rgb"].shape == (48, 64, 3)
+    assert s["depth"].shape == (48, 64, 1)
+    assert s["rays"].shape == (48, 64, 3)
+    assert s["intrinsics"].shape == (3, 3)
+    assert s["extrinsics"].shape == (4, 4)
+    assert 0.0 <= s["rgb"].min() and s["rgb"].max() <= 1.0
+    assert s["depth"].max() < 10.0  # mm -> m conversion applied
+    assert s["scene_type"] == "bedroom"
+    # rays.bin was present and resized; should be ~unit-norm
+    norms = np.linalg.norm(s["rays"], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=0.05)
+
+
+def test_loader_intrinsics_rescaled(dataset):
+    loader = make_loader(dataset, target_height=24, target_width=32)
+    # kv1 native is 64x48 -> scale 0.5
+    s = loader.get_sample(0)
+    raw = np.loadtxt(str(s["image_path"]) + "/intrinsics.txt").reshape(3, 3)
+    np.testing.assert_allclose(s["intrinsics"][0, 0], raw[0, 0] * 0.5, rtol=1e-5)
+    np.testing.assert_allclose(s["intrinsics"][1, 2], raw[1, 2] * 0.5, rtol=1e-5)
+
+
+def test_loader_sensor_filter(dataset):
+    loader = make_loader(dataset, allowed_sensors=["kv1", "xtion"])
+    assert len(loader) == 6
+    loader.filter_by_sensor_type(["kv2"])
+    assert len(loader) == 3
+
+
+def test_loader_split_quirk_and_fix(dataset):
+    # Reference parity: split does NOT filter samples (SURVEY §2.3 #1)...
+    train = make_loader(dataset, split="train")
+    test = make_loader(dataset, split="test")
+    assert len(train) == len(test) == 12
+    # ...unless the conscious fix is enabled.
+    train_f = make_loader(dataset, split="train", split_filtering=True)
+    test_f = make_loader(dataset, split="test", split_filtering=True)
+    assert len(train_f) + len(test_f) == 12
+    assert len(train_f) > 0 and len(test_f) > 0
+
+
+def test_loader_compute_rays_matches_resized_k(dataset):
+    loader = make_loader(dataset, compute_rays=True)
+    s = loader.get_sample(0)
+    k = s["intrinsics"]
+    h, w = s["rgb"].shape[:2]
+    u, v = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+    rays = np.stack([(u - k[0, 2]) / k[0, 0], (v - k[1, 2]) / k[1, 1],
+                     np.ones_like(u)], -1)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    np.testing.assert_allclose(s["rays"], rays, atol=1e-5)
+
+
+def test_augmentation_camera_consistency(dataset):
+    loader = make_loader(dataset, split="train", compute_rays=True)
+    cfg = AugmentationConfig(enable_color_jitter=False,
+                             enable_horizontal_flip=True,
+                             horizontal_flip_prob=1.0,
+                             enable_random_crop=False,
+                             random_seed=7)
+    loader.enable_augmentation(cfg)
+    s_aug = loader.get_sample(0)
+    loader.disable_augmentation()
+    s_raw = loader.get_sample(0)
+    # flip mirrors the image and negates ray-x (sunrgbd_loader.cpp:416-430)
+    np.testing.assert_allclose(s_aug["rgb"], s_raw["rgb"][:, ::-1], atol=1e-6)
+    np.testing.assert_allclose(s_aug["rays"][..., 0],
+                               -s_raw["rays"][:, ::-1, 0], atol=1e-6)
+    w = s_raw["rgb"].shape[1]
+    np.testing.assert_allclose(s_aug["intrinsics"][0, 2],
+                               w - s_raw["intrinsics"][0, 2] - 1, rtol=1e-5)
+
+
+def test_augmentation_crop_shifts_principal_point(dataset):
+    loader = make_loader(dataset, split="train")
+    cfg = AugmentationConfig(enable_color_jitter=False,
+                             enable_horizontal_flip=False,
+                             enable_random_crop=True,
+                             crop_scale_min=0.7, crop_scale_max=0.9,
+                             random_seed=3)
+    loader.enable_augmentation(cfg)
+    s = loader.get_sample(1)
+    # output resized back to target dims after crop
+    assert s["rgb"].shape == (48, 64, 3)
+    assert np.isfinite(s["intrinsics"]).all()
+
+
+def test_augmentation_deterministic_per_index(dataset):
+    loader = make_loader(dataset, split="train")
+    loader.enable_augmentation(AugmentationConfig(random_seed=11))
+    a = loader.get_sample(2)
+    b = loader.get_sample(2)
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+    np.testing.assert_array_equal(a["intrinsics"], b["intrinsics"])
+
+
+def test_color_jitter_formula(dataset):
+    loader = make_loader(dataset, split="train")
+    cfg = AugmentationConfig(enable_random_crop=False,
+                             enable_horizontal_flip=False,
+                             enable_color_jitter=True, random_seed=5)
+    loader.enable_augmentation(cfg)
+    s_aug = loader.get_sample(0)
+    loader.disable_augmentation()
+    s_raw = loader.get_sample(0)
+    rng = np.random.default_rng([5, 0])
+    brightness = rng.uniform(0.8, 1.2)
+    contrast = rng.uniform(0.8, 1.2)
+    want = np.clip(s_raw["rgb"] * contrast + brightness - 1.0, 0.0, 1.0)
+    np.testing.assert_allclose(s_aug["rgb"], want, atol=1e-6)
+
+
+def test_get_batch(dataset):
+    loader = make_loader(dataset)
+    batch = loader.get_batch([0, 1, 2, 3])
+    assert batch["rgb"].shape == (4, 48, 64, 3)
+    assert batch["depth"].shape == (4, 48, 64, 1)
+    assert batch["k4"].shape == (4, 4)
+    np.testing.assert_allclose(batch["k4"][:, 0], batch["intrinsics"][:, 0, 0])
+
+
+def test_input_pipeline_prefetch(dataset):
+    loader = make_loader(dataset)
+    pipe = InputPipeline(loader, batch_size=4, shuffle=True, seed=1,
+                         num_threads=4, prefetch_depth=2)
+    assert len(pipe) == 3
+    batches = list(pipe)
+    assert len(batches) == 3
+    for b in batches:
+        assert b["rgb"].shape == (4, 48, 64, 3)
+        assert b["k4"].shape == (4, 4)
+    # second epoch reshuffles but same count
+    assert len(list(pipe)) == 3
+
+
+def test_input_pipeline_sharded(dataset):
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    loader = make_loader(dataset)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+    pipe = InputPipeline(loader, batch_size=8, sharding=sharding, shuffle=False)
+    batch = next(iter(pipe))
+    assert batch["rgb"].sharding.is_equivalent_to(sharding, ndim=4)
+    assert len(batch["rgb"].addressable_shards) == 4
+
+
+def test_load_manifest(dataset):
+    _, manifest_path = dataset
+    m = load_manifest(manifest_path)
+    assert m["valid_images"] == 12
