@@ -1,0 +1,15 @@
+from cadepth_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicate_sharding,
+    shard_batch,
+    replicate_state,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicate_sharding",
+    "shard_batch",
+    "replicate_state",
+]

@@ -1,0 +1,202 @@
+"""Jitted train/eval steps with donated state (the device hot loop).
+
+TPU-first design: one `train_step(state, batch) -> (state, logs)` pjit'd
+over the mesh — forward (bf16 compute), 4-term loss, backward, global
+grad-norm clip, optimizer update, and loss-component logging all in a
+single compiled program, with the state buffers donated so parameters
+update in place in HBM. Rays are derived on device from the batch
+intrinsics (fusing the reference's entire `preprocess_rays` stage —
+`ray_direction_computer.cpp:17-62` — into the step).
+
+The eval step runs the full 12-metric suite on device, replacing the
+reference's host-side per-sample metric loops (`evaluator.h:142-226`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from cadepth_tpu.config import Config, OptimizationConfig
+from cadepth_tpu.geometry.rays import ray_grid_batch
+from cadepth_tpu.losses.depth_loss import CombinedDepthLoss
+from cadepth_tpu.metrics.depth_metrics import compute_depth_metrics
+from cadepth_tpu.models.factory import create_model, model_inputs
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def build_optimizer(opt: OptimizationConfig,
+                    lr_schedule: optax.Schedule) -> optax.GradientTransformation:
+    """adam/adamw/sgd + optional global-norm clipping (trainer.h:24-92)."""
+    if opt.optimizer == "adam":
+        tx = optax.adam(lr_schedule, b1=opt.adam_betas[0], b2=opt.adam_betas[1],
+                        eps=opt.adam_eps)
+    elif opt.optimizer == "adamw":
+        tx = optax.adamw(lr_schedule, b1=opt.adam_betas[0], b2=opt.adam_betas[1],
+                         eps=opt.adam_eps, weight_decay=opt.weight_decay)
+    elif opt.optimizer == "sgd":
+        tx = optax.sgd(lr_schedule, momentum=opt.sgd_momentum,
+                       nesterov=opt.sgd_nesterov)
+    else:
+        raise ValueError(f"Unknown optimizer: {opt.optimizer}")
+    if opt.gradient_clip:
+        tx = optax.chain(optax.clip_by_global_norm(opt.gradient_clip_value), tx)
+    return tx
+
+
+def build_model_and_loss(cfg: Config, dtype=jnp.bfloat16):
+    model = create_model(
+        cfg.model.architecture,
+        in_channels=cfg.model.in_channels,
+        init_features=cfg.model.init_features,
+        camera_dim=cfg.model.camera_dim,
+        max_depth=cfg.model.max_depth,
+        use_pcl=cfg.model.use_pcl,
+        use_attention=cfg.model.use_attention,
+        variant=cfg.model.variant,
+        dtype=dtype if cfg.training.use_amp else jnp.float32,
+    )
+    loss_fn = CombinedDepthLoss(
+        si_weight=cfg.loss.si_weight,
+        grad_weight=cfg.loss.grad_weight,
+        smooth_weight=cfg.loss.smooth_weight,
+        reproj_weight=cfg.loss.reproj_weight,
+        si_lambda=cfg.loss.si_lambda,
+        grad_num_scales=cfg.loss.grad_num_scales,
+    )
+    return model, loss_fn
+
+
+def _batch_with_rays(batch: Dict[str, jax.Array], needs_rays: bool,
+                     derive_rays: bool) -> Dict[str, jax.Array]:
+    if needs_rays and derive_rays:
+        h, w = batch["rgb"].shape[1], batch["rgb"].shape[2]
+        batch = dict(batch)
+        batch["rays"] = ray_grid_batch(batch["intrinsics"], h, w)
+    return batch
+
+
+def create_train_state(cfg: Config, model, tx, rng: jax.Array,
+                       sample_batch: Dict[str, jax.Array]) -> TrainState:
+    """Initialize params/batch_stats/opt_state from an example batch."""
+    arch = cfg.model.architecture
+    needs_rays = arch.startswith("geometry_aware")
+    batch = _batch_with_rays(sample_batch, needs_rays, cfg.data.compute_rays)
+    args, kwargs = model_inputs(arch, batch, train=False)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        rng, *args, **kwargs)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    cfg: Config,
+    model,
+    loss_fn: CombinedDepthLoss,
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted training step.
+
+    Returns logs: total/si/grad/smooth/reproj losses + pre-clip global
+    gradient norm (the reference computes grad norm in a second pass over
+    parameters, `tensorboard_trainer_enhanced.h:560-571`; here it falls
+    out of the same compiled program).
+    """
+    arch = cfg.model.architecture
+    needs_rays = arch.startswith("geometry_aware")
+    derive_rays = cfg.data.compute_rays
+    valid_from_range = cfg.loss.min_depth
+
+    def step_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        batch = _batch_with_rays(batch, needs_rays, derive_rays)
+        args, kwargs = model_inputs(arch, batch, train=True)
+        gt = batch["depth"]
+        valid_mask = gt > valid_from_range
+
+        def loss_of(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            pred, mutated = model.apply(variables, *args, **kwargs,
+                                        mutable=["batch_stats"])
+            total, comps = loss_fn(pred, gt, batch["rgb"],
+                                   batch["intrinsics"], valid_mask)
+            return total, (comps, mutated["batch_stats"])
+
+        (_, (comps, new_batch_stats)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        grad_norm = optax.global_norm(grads)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        logs = dict(comps)
+        logs["grad_norm"] = grad_norm
+        return new_state, logs
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    cfg: Config,
+    model,
+    loss_fn: CombinedDepthLoss,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Dict[str, jax.Array]]:
+    """Jitted validation step: loss components + full metric suite on device."""
+    arch = cfg.model.architecture
+    needs_rays = arch.startswith("geometry_aware")
+    derive_rays = cfg.data.compute_rays
+
+    def eval_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        batch = _batch_with_rays(batch, needs_rays, derive_rays)
+        args, kwargs = model_inputs(arch, batch, train=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        pred = model.apply(variables, *args, **kwargs)
+        gt = batch["depth"]
+        valid_mask = gt > cfg.loss.min_depth
+        total, comps = loss_fn(pred, gt, batch["rgb"],
+                               batch["intrinsics"], valid_mask)
+        metrics = compute_depth_metrics(
+            pred, gt, min_depth=cfg.validation.min_depth,
+            max_depth=cfg.validation.max_depth)
+        out = dict(comps)
+        out.update(metrics)
+        return out
+
+    return jax.jit(eval_fn)
+
+
+def make_predict_fn(cfg: Config, model):
+    """Jitted inference-only forward (for evaluation/visualization)."""
+    arch = cfg.model.architecture
+    needs_rays = arch.startswith("geometry_aware")
+    derive_rays = cfg.data.compute_rays
+
+    @functools.partial(jax.jit)
+    def predict(state: TrainState, batch: Dict[str, jax.Array]):
+        b = _batch_with_rays(batch, needs_rays, derive_rays)
+        args, kwargs = model_inputs(arch, b, train=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return model.apply(variables, *args, **kwargs)
+
+    return predict

@@ -1,0 +1,367 @@
+"""Training orchestration: epochs, validation, logging, checkpoints.
+
+Functional union of the reference's three trainers (SURVEY §2.8):
+`ProductionTrainer` (CSV + log file + checkpoints),
+`TensorBoardTrainerEnhanced` (batch scalars, grad norms, histograms,
+image panels, hparams — the default path), and the generic
+`DepthTrainer` skeleton (early stopping, best-metric selection, LR
+schedule, resume — designed there but never wired; wired here).
+
+TPU-first loop shape: the device step is one donated jit program
+(:mod:`cadepth_tpu.training.train_state`), the host only orchestrates —
+input prefetch runs ahead (:class:`cadepth_tpu.data.pipeline.InputPipeline`),
+per-batch log scalars stay on device and only sync at log_interval.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadepth_tpu.config import Config
+from cadepth_tpu.data.pipeline import InputPipeline
+from cadepth_tpu.data.sunrgbd import AugmentationConfig, SunRGBDLoader
+from cadepth_tpu.metrics.depth_metrics import MetricsAccumulator
+from cadepth_tpu.models.factory import count_parameters
+from cadepth_tpu.parallel.mesh import make_mesh, batch_sharding, replicate_state
+from cadepth_tpu.training.checkpoint import CheckpointManager
+from cadepth_tpu.training.schedule import build_lr_schedule
+from cadepth_tpu.training.tb_logger import TensorBoardLogger
+from cadepth_tpu.training.train_state import (
+    build_model_and_loss,
+    build_optimizer,
+    create_train_state,
+    make_eval_step,
+    make_predict_fn,
+    make_train_step,
+)
+from cadepth_tpu.visualization.depth_viz import create_comparison
+
+CSV_HEADER = ("epoch,step,train_loss,val_loss,"
+              "abs_rel,sq_rel,rmse,rmse_log,a1,a2,a3,"
+              "learning_rate,time_elapsed\n")  # tensorboard_trainer_enhanced.h:111-115
+
+
+def build_loaders(cfg: Config):
+    """Train/val loaders + augmentation wiring (train_main.cpp:370-404)."""
+    aug = cfg.data.augmentation
+    sensors = cfg.data.sensor_types or ["kv1", "kv2", "realsense", "xtion"]
+    common = dict(
+        data_dir=cfg.data.data_dir,
+        manifest_path=cfg.data.manifest_path,
+        target_height=cfg.data.input_height,
+        target_width=cfg.data.input_width,
+        allowed_sensors=sensors,
+        split_filtering=cfg.data.split_filtering,
+        compute_rays=cfg.data.compute_rays,
+    )
+    train_loader = SunRGBDLoader(split=cfg.data.train_split, **common)
+    val_loader = SunRGBDLoader(split=cfg.data.val_split, **common)
+    train_loader.enable_augmentation(AugmentationConfig(
+        enable_random_crop=aug.random_crop,
+        crop_scale_min=aug.crop_scale_min,
+        crop_scale_max=aug.crop_scale_max,
+        enable_horizontal_flip=aug.horizontal_flip,
+        horizontal_flip_prob=aug.flip_probability,
+        enable_color_jitter=aug.color_jitter,
+        brightness_delta=aug.brightness,
+        contrast_delta=aug.contrast,
+        random_seed=cfg.experiment.seed,
+    ))
+    return train_loader, val_loader
+
+
+class Trainer:
+    def __init__(self, cfg: Config, train_loader: Optional[SunRGBDLoader] = None,
+                 val_loader: Optional[SunRGBDLoader] = None):
+        self.cfg = cfg
+        if train_loader is None or val_loader is None:
+            train_loader, val_loader = build_loaders(cfg)
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+
+        # -- device mesh / sharding
+        self.mesh = None
+        self.data_sharding = None
+        if cfg.hardware.data_parallel and len(jax.devices()) > 1:
+            n = cfg.hardware.num_devices or len(jax.devices())
+            n = min(n, len(jax.devices()))
+            if cfg.hardware.num_devices and cfg.training.batch_size % n != 0:
+                raise ValueError(
+                    f"batch_size {cfg.training.batch_size} is not divisible by "
+                    f"hardware.num_devices {n}")
+            # auto mode: largest device count that divides the global batch
+            while cfg.training.batch_size % n != 0:
+                n -= 1
+            if n > 1:
+                self.mesh = make_mesh(n, cfg.hardware.mesh_axis)
+                self.data_sharding = batch_sharding(
+                    self.mesh, cfg.hardware.mesh_axis)
+
+        # -- pipelines
+        debug_limits = getattr(cfg, "_debug_limits", None) or {}
+        self.train_pipe = InputPipeline(
+            self.train_loader, cfg.training.batch_size, shuffle=True,
+            seed=cfg.experiment.seed, num_threads=max(cfg.training.num_workers, 1),
+            prefetch_depth=cfg.training.prefetch_factor,
+            sharding=self.data_sharding,
+            max_samples=debug_limits.get("num_train_samples"))
+        # validation capped at max_val_samples (production_trainer.h:242-281)
+        self.val_pipe = InputPipeline(
+            self.val_loader, cfg.training.batch_size, shuffle=False,
+            seed=cfg.experiment.seed, num_threads=max(cfg.training.num_workers, 1),
+            prefetch_depth=cfg.training.prefetch_factor,
+            sharding=self.data_sharding,
+            max_samples=debug_limits.get(
+                "num_val_samples", cfg.training.max_val_samples))
+
+        # -- model / optimizer / steps
+        self.model, self.loss_fn = build_model_and_loss(cfg)
+        steps_per_epoch = max(len(self.train_pipe), 1)
+        self.lr_schedule = build_lr_schedule(
+            cfg.optimization, steps_per_epoch, cfg.training.num_epochs)
+        self.tx = build_optimizer(cfg.optimization, self.lr_schedule)
+        self.train_step = make_train_step(cfg, self.model, self.loss_fn, self.tx)
+        self.eval_step = make_eval_step(cfg, self.model, self.loss_fn)
+        self.predict_fn = make_predict_fn(cfg, self.model)
+
+        # -- state
+        sample_batch = jax.device_put(self.train_loader.get_batch(
+            range(min(2, len(self.train_loader)))))
+        self.state = create_train_state(
+            cfg, self.model, self.tx, jax.random.PRNGKey(cfg.experiment.seed),
+            sample_batch)
+        if self.mesh is not None:
+            self.state = replicate_state(self.state, self.mesh)
+        self.num_params = count_parameters(self.state.params)
+
+        # -- observability
+        log_dir = Path(cfg.logging.log_dir) / cfg.experiment.name
+        log_dir.mkdir(parents=True, exist_ok=True)
+        self.log_dir = log_dir
+        self.tb = TensorBoardLogger(str(log_dir / "tensorboard"),
+                                    enabled=cfg.logging.tensorboard_enabled)
+        self._train_log = open(log_dir / "training.log", "a")
+        self._csv = None
+        if cfg.logging.csv_enabled:
+            self._csv = open(log_dir / cfg.logging.metrics_file, "a")
+            if self._csv.tell() == 0:
+                self._csv.write(CSV_HEADER)
+
+        # -- checkpointing / early stopping
+        self.ckpt = CheckpointManager(
+            str(Path(cfg.checkpointing.checkpoint_dir) / cfg.experiment.name),
+            keep_last_n=cfg.checkpointing.keep_last_n,
+            metric_name=cfg.validation.primary_metric,
+            metric_lower_is_better=cfg.validation.metric_mode == "min")
+        self.start_epoch = 0
+        self.best_metric = float("inf") if cfg.validation.metric_mode == "min" \
+            else float("-inf")
+        self.epochs_without_improvement = 0
+        self.history: list = []
+
+        resume_from = cfg.checkpointing.resume_from
+        if resume_from:
+            path = resume_from if resume_from != "latest" \
+                else self.ckpt.latest_checkpoint()
+            if path:
+                self.state, meta = self.ckpt.restore_with_meta(path, self.state)
+                self.start_epoch = int(meta.get("epoch", 0)) + 1
+                metrics = meta.get("metrics", {})
+                if self.cfg.validation.primary_metric in metrics:
+                    self.best_metric = metrics[self.cfg.validation.primary_metric]
+                self.log(f"Resumed from {path} at epoch {self.start_epoch}")
+
+    # -- logging helpers ------------------------------------------------------
+
+    def log(self, message: str) -> None:
+        stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+        line = f"[{stamp}] {message}"
+        if self.cfg.logging.verbose:
+            print(line, flush=True)
+        self._train_log.write(line + "\n")
+        self._train_log.flush()
+
+    def _is_improvement(self, value: float) -> bool:
+        delta = self.cfg.early_stopping.min_delta
+        if self.cfg.validation.metric_mode == "min":
+            return value < self.best_metric - delta
+        return value > self.best_metric + delta
+
+    # -- loops ------------------------------------------------------------
+
+    def train_epoch(self, epoch: int) -> float:
+        cfg = self.cfg
+        log_interval = max(cfg.training.log_interval, 1)
+        losses = []
+        last_logs = None
+        for batch_idx, batch in enumerate(self.train_pipe):
+            self.state, logs = self.train_step(self.state, batch)
+            losses.append(logs["total_loss"])
+            last_logs = logs
+            if batch_idx % log_interval == 0:
+                step = int(self.state.step)
+                self.tb.add_scalar("batch_loss/train",
+                                   float(logs["total_loss"]), step)
+                self.tb.add_scalar("training/gradient_norm",
+                                   float(logs["grad_norm"]), step)
+        if not losses:
+            return 0.0
+        mean_loss = float(jnp.mean(jnp.stack(losses)))
+        if last_logs is not None:
+            step = int(self.state.step)
+            for key in ("si_loss", "grad_loss", "smooth_loss", "reproj_loss"):
+                if key in last_logs:
+                    self.tb.add_scalar(
+                        f"loss_components/{key.removesuffix('_loss')}",
+                        float(last_logs[key]), step)
+        return mean_loss
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        acc = MetricsAccumulator()
+        for batch in self.val_pipe:
+            out = self.eval_step(self.state, batch)
+            acc.update({k: float(v) for k, v in out.items()})
+        metrics = acc.average()
+        return metrics
+
+    def visualize(self, epoch: int) -> None:
+        """Log [RGB | GT | Pred | Error] panels (tensorboard_trainer_enhanced.h:444-470)."""
+        n = min(self.cfg.training.num_vis_samples, len(self.val_loader))
+        if n == 0 or not self.cfg.training.save_predictions:
+            return
+        batch = self.val_loader.get_batch(range(n))
+        if self.mesh is not None:
+            # vis batch size need not divide the mesh — replicate it
+            from cadepth_tpu.parallel.mesh import replicate_sharding
+
+            batch = jax.device_put(batch, replicate_sharding(self.mesh))
+        else:
+            batch = jax.device_put(batch)
+        pred = np.asarray(self.predict_fn(self.state, batch))
+        rgb = np.asarray(batch["rgb"])
+        gt = np.asarray(batch["depth"])
+        for i in range(n):
+            panel = create_comparison(rgb[i], gt[i], pred[i])
+            self.tb.add_image(f"predictions/sample_{i}", panel, epoch)
+
+    def log_weight_histograms(self, epoch: int) -> None:
+        flat = jax.tree_util.tree_leaves_with_path(self.state.params)
+        for path, leaf in flat:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            self.tb.add_histogram(f"weights/{name}", np.asarray(leaf), epoch)
+
+    def train(self) -> Dict[str, float]:
+        cfg = self.cfg
+        self.log("=" * 55)
+        self.log(f"cadepth_tpu trainer — experiment '{cfg.experiment.name}'")
+        self.log(f"model={cfg.model.architecture} params={self.num_params:,}")
+        self.log(f"devices={len(jax.devices())} mesh={'on' if self.mesh else 'off'}"
+                 f" batch={cfg.training.batch_size}")
+        self.log(f"train_samples={len(self.train_loader)} "
+                 f"val_samples={len(self.val_loader)}")
+        self.log("=" * 55)
+        self.tb.add_text("model/architecture",
+                         f"{cfg.model.architecture} ({self.num_params:,} params)")
+        self.tb.add_hparams({
+            "architecture": cfg.model.architecture,
+            "init_features": cfg.model.init_features,
+            "batch_size": cfg.training.batch_size,
+            "learning_rate": cfg.optimization.learning_rate,
+            "optimizer": cfg.optimization.optimizer,
+            "lr_scheduler": cfg.optimization.lr_scheduler,
+        })
+
+        t0 = time.time()
+        final_metrics: Dict[str, float] = {}
+        for epoch in range(self.start_epoch, cfg.training.num_epochs):
+            epoch_start = time.time()
+            train_loss = self.train_epoch(epoch)
+            epoch_time = time.time() - epoch_start
+            step = int(self.state.step)
+            lr = float(self.lr_schedule(step))
+
+            self.tb.add_scalar("loss/train", train_loss, epoch)
+            self.tb.add_scalar("training/learning_rate", lr, epoch)
+            self.tb.add_scalar("training/epoch_time_seconds", epoch_time, epoch)
+            self.tb.add_scalar("training/total_time_seconds",
+                               time.time() - t0, epoch)
+
+            val_metrics: Dict[str, float] = {}
+            if (epoch + 1) % max(cfg.training.val_interval, 1) == 0:
+                val_metrics = self.validate(epoch)
+                final_metrics = val_metrics
+                self.tb.add_scalar("loss/val",
+                                   val_metrics.get("total_loss", 0.0), epoch)
+                for name in ("abs_rel", "sq_rel", "rmse", "rmse_log"):
+                    self.tb.add_scalar(f"metrics/{name}",
+                                       val_metrics.get(name, 0.0), epoch)
+                self.tb.add_scalar("metrics/a1",
+                                   val_metrics.get("delta_1.25", 0.0), epoch)
+                self.tb.add_scalar("metrics/a2",
+                                   val_metrics.get("delta_1.25^2", 0.0), epoch)
+                self.tb.add_scalar("metrics/a3",
+                                   val_metrics.get("delta_1.25^3", 0.0), epoch)
+                self.visualize(epoch)
+
+            if cfg.logging.log_histogram_interval and \
+                    (epoch + 1) % cfg.logging.log_histogram_interval == 0:
+                self.log_weight_histograms(epoch)
+
+            if self._csv is not None:
+                self._csv.write(
+                    f"{epoch},{step},{train_loss:.6f},"
+                    f"{val_metrics.get('total_loss', 0.0):.6f},"
+                    f"{val_metrics.get('abs_rel', 0.0):.6f},"
+                    f"{val_metrics.get('sq_rel', 0.0):.6f},"
+                    f"{val_metrics.get('rmse', 0.0):.6f},"
+                    f"{val_metrics.get('rmse_log', 0.0):.6f},"
+                    f"{val_metrics.get('delta_1.25', 0.0):.6f},"
+                    f"{val_metrics.get('delta_1.25^2', 0.0):.6f},"
+                    f"{val_metrics.get('delta_1.25^3', 0.0):.6f},"
+                    f"{lr:.8f},{time.time() - t0:.1f}\n")
+                self._csv.flush()
+
+            primary = val_metrics.get(cfg.validation.primary_metric)
+            is_best = primary is not None and self._is_improvement(primary)
+            if is_best:
+                self.best_metric = primary
+                self.epochs_without_improvement = 0
+            elif primary is not None:
+                self.epochs_without_improvement += 1
+
+            if (epoch + 1) % max(cfg.checkpointing.save_interval, 1) == 0 \
+                    or is_best or epoch == cfg.training.num_epochs - 1:
+                self.ckpt.save(self.state, epoch, val_metrics, is_best=is_best)
+
+            msg = (f"epoch {epoch + 1}/{cfg.training.num_epochs} "
+                   f"loss={train_loss:.4f} lr={lr:.2e} time={epoch_time:.1f}s")
+            if val_metrics:
+                msg += (f" val_abs_rel={val_metrics.get('abs_rel', 0):.4f}"
+                        f" val_rmse={val_metrics.get('rmse', 0):.4f}")
+            self.log(msg)
+            self.history.append({"epoch": epoch, "train_loss": train_loss,
+                                 **val_metrics})
+
+            if cfg.early_stopping.enabled and \
+                    self.epochs_without_improvement >= cfg.early_stopping.patience:
+                self.log(f"Early stopping at epoch {epoch + 1} "
+                         f"(no improvement for "
+                         f"{self.epochs_without_improvement} epochs)")
+                break
+
+        self.log(f"Training complete in {time.time() - t0:.1f}s; "
+                 f"best {cfg.validation.primary_metric}={self.best_metric:.4f}")
+        self.tb.flush()
+        return final_metrics
+
+    def close(self) -> None:
+        self.tb.close()
+        self._train_log.close()
+        if self._csv is not None:
+            self._csv.close()

@@ -1,0 +1,117 @@
+"""Config loading, experiment overrides, debug mode."""
+
+import textwrap
+
+import pytest
+
+from cadepth_tpu.config import load_config, config_from_dict, config_to_dict
+
+YAML = textwrap.dedent("""
+experiment:
+  name: "baseline_unet"
+  tags: ["baseline"]
+data:
+  input_height: 240
+  input_width: 320
+  augmentation:
+    brightness: 0.3
+model:
+  architecture: "baseline_unet"
+  init_features: 64
+optimization:
+  optimizer: "adamw"
+  learning_rate: 1.0e-4
+  lr_scheduler: "step"
+loss:
+  si_weight: 1.0
+  reproj_weight: 0.01
+training:
+  num_epochs: 50
+  batch_size: 8
+reproducibility:
+  seed: 123
+experiments:
+  baseline_small:
+    model:
+      init_features: 32
+    training:
+      batch_size: 16
+  geometry_aware_full:
+    model:
+      architecture: "geometry_aware"
+      variant: "full"
+    experiment:
+      name: "geometry_aware_full"
+    training:
+      batch_size: 4
+debug:
+  enabled: false
+  num_train_samples: 100
+  num_val_samples: 50
+  num_epochs: 2
+  log_interval: 1
+""")
+
+
+@pytest.fixture
+def config_path(tmp_path):
+    p = tmp_path / "train_config.yaml"
+    p.write_text(YAML)
+    return str(p)
+
+
+def test_base_config(config_path):
+    cfg = load_config(config_path)
+    assert cfg.experiment.name == "baseline_unet"
+    assert cfg.experiment.seed == 123
+    assert cfg.data.input_height == 240
+    assert cfg.data.augmentation.brightness == 0.3
+    assert cfg.model.init_features == 64
+    assert cfg.optimization.optimizer == "adamw"
+    assert cfg.training.batch_size == 8
+
+
+def test_experiment_override(config_path):
+    cfg = load_config(config_path, experiment="baseline_small")
+    assert cfg.model.init_features == 32
+    assert cfg.training.batch_size == 16
+    assert cfg.model.architecture == "baseline_unet"  # unchanged
+
+    cfg2 = load_config(config_path, experiment="geometry_aware_full")
+    assert cfg2.model.architecture == "geometry_aware"
+    assert cfg2.experiment.name == "geometry_aware_full"
+    assert cfg2.training.batch_size == 4
+
+
+def test_unknown_experiment_raises(config_path):
+    with pytest.raises(KeyError) as err:
+        load_config(config_path, experiment="nope")
+    assert "baseline_small" in str(err.value)
+
+
+def test_debug_override(config_path):
+    cfg = load_config(config_path, debug=True)
+    assert cfg.training.num_epochs == 2
+    assert cfg.training.log_interval == 1
+    assert cfg._debug_limits["num_train_samples"] == 100
+
+
+def test_defaults_from_empty():
+    cfg = config_from_dict({})
+    assert cfg.model.architecture == "baseline_unet"
+    assert cfg.loss.si_weight == 1.0
+    assert cfg.validation.primary_metric == "abs_rel"
+    d = config_to_dict(cfg)
+    assert d["model"]["architecture"] == "baseline_unet"
+
+
+def test_reference_config_loads():
+    # the reference's shipped YAML should map cleanly
+    cfg = load_config("/root/reference/configs/train_config.yaml")
+    assert cfg.training.num_epochs == 50
+    assert cfg.optimization.lr_scheduler == "step"
+    assert cfg.loss.reproj_weight == 0.01
+    cfg2 = load_config("/root/reference/configs/train_config.yaml",
+                       experiment="geometry_aware_lightweight")
+    assert cfg2.model.architecture == "geometry_aware"
+    assert cfg2.model.variant == "lightweight"

@@ -1,0 +1,213 @@
+"""End-to-end training: loop smoke, overfit sanity, checkpoint resume,
+LR schedules. Runs on the CPU backend with a tiny model + synthetic data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cadepth_tpu.config import config_from_dict
+from cadepth_tpu.data import SunRGBDLoader, generate_synthetic_dataset
+from cadepth_tpu.training import (
+    Trainer,
+    build_lr_schedule,
+    build_optimizer,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+    CheckpointManager,
+)
+from cadepth_tpu.training.train_state import build_model_and_loss
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_fixture")
+    manifest = generate_synthetic_dataset(root, images_per_sensor=2)
+    return str(root), manifest
+
+
+def tiny_config(dataset, tmp_path, **overrides):
+    root, manifest = dataset
+    raw = {
+        "experiment": {"name": "test_run"},
+        "data": {
+            "data_dir": f"{root}/sunrgbd",
+            "manifest_path": manifest,
+            "input_height": 32,
+            "input_width": 32,
+        },
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+        "optimization": {"optimizer": "adam", "learning_rate": 1e-3,
+                         "lr_scheduler": "none", "lr_warmup_epochs": 0},
+        "training": {"num_epochs": 2, "batch_size": 4, "num_workers": 2,
+                     "log_interval": 1, "num_vis_samples": 1},
+        "checkpointing": {"checkpoint_dir": str(tmp_path / "ckpts"),
+                          "save_interval": 1},
+        "logging": {"log_dir": str(tmp_path / "logs"),
+                    "tensorboard": {"enabled": False}},
+        "early_stopping": {"enabled": False},
+    }
+    for key, value in overrides.items():
+        raw.setdefault(key, {}).update(value)
+    return config_from_dict(raw)
+
+
+def test_lr_schedules():
+    from cadepth_tpu.config import OptimizationConfig
+
+    # step decay with warmup
+    opt = OptimizationConfig(learning_rate=1e-2, lr_scheduler="step",
+                             lr_step_size=2, lr_gamma=0.5, lr_warmup_epochs=1)
+    sched = build_lr_schedule(opt, steps_per_epoch=10, num_epochs=10)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(1e-2, rel=1e-3)
+    assert float(sched(25)) == pytest.approx(5e-3, rel=1e-3)
+    assert float(sched(45)) == pytest.approx(2.5e-3, rel=1e-3)
+    # cosine hits lr_min at the end
+    opt2 = OptimizationConfig(learning_rate=1e-2, lr_scheduler="cosine",
+                              lr_warmup_epochs=0, lr_min=1e-6)
+    sched2 = build_lr_schedule(opt2, steps_per_epoch=10, num_epochs=10)
+    assert float(sched2(0)) == pytest.approx(1e-2, rel=1e-3)
+    assert float(sched2(100)) == pytest.approx(1e-6, rel=1e-2)
+
+
+def test_optimizer_variants():
+    from cadepth_tpu.config import OptimizationConfig
+
+    for name in ("adam", "adamw", "sgd"):
+        opt = OptimizationConfig(optimizer=name)
+        tx = build_optimizer(opt, lambda step: 1e-4)
+        params = {"w": jnp.ones((3,))}
+        opt_state = tx.init(params)
+        grads = {"w": jnp.ones((3,))}
+        updates, _ = tx.update(grads, opt_state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+    with pytest.raises(ValueError):
+        build_optimizer(OptimizationConfig(optimizer="lion"), lambda s: 1e-4)
+
+
+def test_overfit_single_batch(dataset, tmp_path):
+    """The reference sprint plan's intended-but-absent sanity check
+    (documents/sprint_plan.md:415-440): loss must drop sharply when
+    overfitting one batch."""
+    cfg = tiny_config(dataset, tmp_path)
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization, lambda s: 3e-3)
+    root, manifest = dataset
+    loader = SunRGBDLoader(f"{root}/sunrgbd", manifest,
+                           target_height=32, target_width=32)
+    batch = jax.device_put(loader.get_batch([0, 1]))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, model, loss_fn, tx, donate=False)
+    first = None
+    logs = {}
+    for i in range(100):
+        state, logs = step(state, batch)
+        if first is None:
+            first = float(logs["total_loss"])
+    last = float(logs["total_loss"])
+    assert last < first * 0.4, (first, last)
+    assert np.isfinite(last)
+
+
+def test_eval_step_outputs(dataset, tmp_path):
+    cfg = tiny_config(dataset, tmp_path)
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization, lambda s: 1e-3)
+    root, manifest = dataset
+    loader = SunRGBDLoader(f"{root}/sunrgbd", manifest,
+                           target_height=32, target_width=32)
+    batch = jax.device_put(loader.get_batch([0, 1]))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    out = make_eval_step(cfg, model, loss_fn)(state, batch)
+    for key in ("total_loss", "si_loss", "abs_rel", "rmse", "delta_1.25"):
+        assert key in out
+        assert np.isfinite(float(out[key]))
+
+
+def test_trainer_end_to_end(dataset, tmp_path):
+    cfg = tiny_config(dataset, tmp_path)
+    trainer = Trainer(cfg)
+    metrics = trainer.train()
+    trainer.close()
+    assert "abs_rel" in metrics
+    # observability artifacts exist
+    log_dir = tmp_path / "logs" / "test_run"
+    assert (log_dir / "training.log").exists()
+    csv = (log_dir / "metrics.csv").read_text().splitlines()
+    assert csv[0].startswith("epoch,step,train_loss,val_loss,abs_rel")
+    assert len(csv) == 3  # header + 2 epochs
+    # checkpoints exist with retention structure
+    ckpt_dir = tmp_path / "ckpts" / "test_run"
+    assert any(ckpt_dir.glob("step_*"))
+
+
+def test_trainer_geometry_aware_arch(dataset, tmp_path):
+    cfg = tiny_config(dataset, tmp_path,
+                      model={"architecture": "geometry_aware",
+                             "init_features": 4})
+    trainer = Trainer(cfg)
+    loss = trainer.train_epoch(0)
+    trainer.close()
+    assert np.isfinite(loss)
+
+
+def test_checkpoint_roundtrip_and_resume(dataset, tmp_path):
+    cfg = tiny_config(dataset, tmp_path)
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization, lambda s: 1e-3)
+    root, manifest = dataset
+    loader = SunRGBDLoader(f"{root}/sunrgbd", manifest,
+                           target_height=32, target_width=32)
+    batch = jax.device_put(loader.get_batch([0, 1]))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, model, loss_fn, tx, donate=False)
+    for _ in range(3):
+        state, _ = step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt_rt"), keep_last_n=2)
+    path = mgr.save(state, epoch=0, metrics={"abs_rel": 0.5}, is_best=True)
+    target = create_train_state(cfg, model, tx, jax.random.PRNGKey(1), batch)
+    restored, meta = mgr.restore_with_meta(path, target)
+    assert int(restored.step) == 3
+    assert meta["metrics"]["abs_rel"] == 0.5
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert mgr.best_dir.exists()
+
+
+def test_checkpoint_retention(dataset, tmp_path):
+    cfg = tiny_config(dataset, tmp_path)
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization, lambda s: 1e-3)
+    root, manifest = dataset
+    loader = SunRGBDLoader(f"{root}/sunrgbd", manifest,
+                           target_height=32, target_width=32)
+    batch = jax.device_put(loader.get_batch([0]))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, model, loss_fn, tx, donate=False)
+    mgr = CheckpointManager(str(tmp_path / "ckpt_keep"), keep_last_n=2)
+    for epoch in range(4):
+        state, _ = step(state, batch)
+        mgr.save(state, epoch=epoch)
+    kept = sorted(p.name for p in (tmp_path / "ckpt_keep").glob("step_*")
+                  if p.is_dir())
+    assert len(kept) == 2
+    assert mgr.latest_checkpoint().endswith(kept[-1])
+
+
+def test_trainer_resume_from_latest(dataset, tmp_path):
+    cfg = tiny_config(dataset, tmp_path)
+    t1 = Trainer(cfg)
+    t1.train()
+    t1.close()
+    cfg2 = tiny_config(dataset, tmp_path)
+    cfg2.checkpointing.resume_from = "latest"
+    cfg2.training.num_epochs = 3
+    t2 = Trainer(cfg2)
+    assert t2.start_epoch == 2
+    assert int(t2.state.step) > 0
+    t2.close()
