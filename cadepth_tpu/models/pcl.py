@@ -43,6 +43,11 @@ class PerspectiveCorrectionLayer(nn.Module):
     feature_channels: int
     camera_dim: int = 4
     hidden_dim: int = 128
+    # Apply the forward3D ray-z gating (pcl_layer.h:118-140). The reference
+    # decoder invokes the 3-arg forward which accepts-but-IGNORES rays
+    # (pcl_layer.h:76-111; geometry_aware_network.h:144-145), so parity
+    # default is False. forward3D behavior = gate_with_rays=True.
+    gate_with_rays: bool = False
     dtype: Any = jnp.bfloat16
 
     def _transform(self, features, camera_intrinsics, train: bool):
@@ -74,12 +79,13 @@ class PerspectiveCorrectionLayer(nn.Module):
                  train: bool = False):
         """features (B,H,W,C), K4 (B,4), optional rays (B,H,W,3).
 
-        With rays, applies the 3D-aware viewing-angle gating of
-        `forward3D` (`pcl_layer.h:118-140`): features scaled by
-        0.5 + 0.5*|ray_z|.
+        With `gate_with_rays=True` and rays given, applies the 3D-aware
+        viewing-angle gating of `forward3D` (`pcl_layer.h:118-140`):
+        features scaled by 0.5 + 0.5*|ray_z|. Otherwise rays are
+        accepted-but-ignored, matching the reference's live decoder path.
         """
         corrected = self._transform(features, camera_intrinsics, train)
-        if ray_directions is not None:
+        if self.gate_with_rays and ray_directions is not None:
             weight = jnp.abs(ray_directions[..., 2:3]).astype(corrected.dtype)
             corrected = corrected * (0.5 + 0.5 * weight)
         return corrected

@@ -115,7 +115,8 @@ def test_pcl_ray_gating(rng):
     k4 = jnp.ones((1, 4))
     rays = jnp.zeros((1, 8, 8, 3))
     rays = rays.at[..., 2].set(1.0)  # |ray_z| = 1 -> gate = 1.0
-    pcl = PerspectiveCorrectionLayer(feature_channels=4, dtype=jnp.float32)
+    pcl = PerspectiveCorrectionLayer(feature_channels=4, gate_with_rays=True,
+                                     dtype=jnp.float32)
     variables = pcl.init(jax.random.PRNGKey(0), x, k4, rays)
     out = pcl.apply(variables, x, k4, rays)
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-4)
