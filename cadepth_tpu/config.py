@@ -64,6 +64,7 @@ class DataConfig:
     resize_mode: str = "resize"
     split_filtering: bool = False  # reference-faithful default (SURVEY §2.3 #1)
     compute_rays: bool = True      # TPU-native: derive rays, don't store them
+    use_native_loader: str = "auto"  # "auto" | "always" | "never" (C++ decode)
     augmentation: AugmentationYaml = dataclasses.field(default_factory=AugmentationYaml)
 
 
@@ -241,6 +242,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         resize_mode=d.get("resize_mode", "resize"),
         split_filtering=bool(d.get("split_filtering", False)),
         compute_rays=bool(d.get("compute_rays", True)),
+        use_native_loader=str(d.get("use_native_loader", "auto")),
         augmentation=AugmentationYaml(
             random_crop=bool(aug.get("random_crop", True)),
             crop_scale_min=float(aug.get("crop_scale_min", 0.7)),

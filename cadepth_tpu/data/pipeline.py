@@ -45,6 +45,7 @@ class InputPipeline:
         drop_remainder: bool = True,
         sharding: Optional[jax.sharding.Sharding] = None,
         max_samples: Optional[int] = None,
+        use_native: str = "auto",
     ):
         self.loader = loader
         self.batch_size = batch_size
@@ -56,6 +57,20 @@ class InputPipeline:
         self.sharding = sharding
         self.max_samples = max_samples
         self._epoch = 0
+        # Native C++ batch loader (GIL-free decode). "auto" uses it when the
+        # shared library builds/loads AND the loader derives rays from K
+        # (the native path doesn't read rays.bin side files).
+        self._native = False
+        if use_native in ("auto", "always"):
+            from cadepth_tpu.data import native as _native_mod
+
+            ok = _native_mod.available() and loader.compute_rays
+            if use_native == "always" and not ok:
+                raise RuntimeError(
+                    "use_native='always' but the native loader is unavailable "
+                    "(build native/build.sh and use compute_rays=True)")
+            self._native = ok
+            self._native_mod = _native_mod if ok else None
 
     def __len__(self) -> int:
         n = len(self.loader)
@@ -87,6 +102,31 @@ class InputPipeline:
             ).astype(np.float32),
         }
 
+    def _native_batch(self, batch_indices) -> Dict[str, np.ndarray]:
+        loader = self.loader
+        dirs = [str(loader.sample_paths[int(i)]["image_dir"])
+                for i in batch_indices]
+        augment = None
+        seeds = None
+        if loader.augmentation_enabled and loader.split == "train":
+            cfg = loader.aug_config
+            augment = {
+                "enable_crop": cfg.enable_random_crop,
+                "crop_scale_min": cfg.crop_scale_min,
+                "crop_scale_max": cfg.crop_scale_max,
+                "enable_flip": cfg.enable_horizontal_flip,
+                "flip_prob": cfg.horizontal_flip_prob,
+                "enable_jitter": cfg.enable_color_jitter,
+                "brightness_delta": cfg.brightness_delta,
+                "contrast_delta": cfg.contrast_delta,
+            }
+            # per-(seed, index) streams like the Python loader
+            seeds = [(cfg.random_seed << 20) ^ int(i) for i in batch_indices]
+        return self._native_mod.load_batch(
+            dirs, loader.target_height, loader.target_width,
+            augment=augment, aug_seeds=seeds, compute_rays=True,
+            num_threads=self.num_threads)
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         indices = self._epoch_indices()
         self._epoch += 1
@@ -98,6 +138,23 @@ class InputPipeline:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
         error: list = []
 
+        def emit(batch):
+            if self.sharding is not None:
+                batch = jax.device_put(batch, self.sharding)
+            else:
+                batch = jax.device_put(batch)
+            out_q.put(batch)
+
+        def producer_native():
+            try:
+                for b in range(num_batches):
+                    chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                    emit(self._native_batch(chunk))
+            except Exception as exc:
+                error.append(exc)
+            finally:
+                out_q.put(_STOP)
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
@@ -108,16 +165,14 @@ class InputPipeline:
                     for b in range(num_batches):
                         chunk = futures[b * self.batch_size:(b + 1) * self.batch_size]
                         samples = [f.result() for f in chunk]
-                        batch = self._assemble(samples)
-                        if self.sharding is not None:
-                            batch = jax.device_put(batch, self.sharding)
-                        else:
-                            batch = jax.device_put(batch)
-                        out_q.put(batch)
+                        emit(self._assemble(samples))
             except Exception as exc:  # surface in consumer
                 error.append(exc)
             finally:
                 out_q.put(_STOP)
+
+        if self._native:
+            producer = producer_native
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

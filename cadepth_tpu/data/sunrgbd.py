@@ -265,7 +265,10 @@ class SunRGBDLoader:
         h, w = sample["rgb"].shape[:2]
         rays_path = image_dir / "rays.bin"
         if self.compute_rays:
-            sample["rays"] = self._compute_rays(sample["intrinsics"], h, w)
+            # Rays are derived from the FINAL (post-resize/augment) K below —
+            # exact by construction, unlike resizing/flipping a precomputed
+            # grid (the reference's path, kept for rays.bin inputs).
+            sample["rays"] = None
         elif rays_path.exists():
             sample["rays"] = load_ray_directions(rays_path).astype(np.float32)
         else:
@@ -275,6 +278,9 @@ class SunRGBDLoader:
         if self.augmentation_enabled and self.split == "train":
             self._augment_sample(sample, index)
             self._resize_sample(sample)
+        if self.compute_rays:
+            sample["rays"] = self._compute_rays(
+                sample["intrinsics"], self.target_height, self.target_width)
         return sample
 
     def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
@@ -305,7 +311,7 @@ class SunRGBDLoader:
         depth = cv2.resize(sample["depth"][..., 0], (tw, th),
                            interpolation=cv2.INTER_NEAREST)
         sample["depth"] = depth[..., None]
-        if sample["rays"].size:
+        if sample["rays"] is not None and sample["rays"].size:
             sample["rays"] = cv2.resize(sample["rays"], (tw, th),
                                         interpolation=cv2.INTER_LINEAR)
         sx, sy = tw / w, th / h
@@ -334,6 +340,8 @@ class SunRGBDLoader:
             crop_x = int(rng.integers(0, max(1, w - crop_w) + 1))
             crop_y = int(rng.integers(0, max(1, h - crop_h) + 1))
             for key in ("rgb", "depth", "rays"):
+                if sample[key] is None:
+                    continue
                 sample[key] = sample[key][crop_y:crop_y + crop_h,
                                           crop_x:crop_x + crop_w]
             k = sample["intrinsics"].copy()
@@ -343,8 +351,11 @@ class SunRGBDLoader:
 
         if cfg.enable_horizontal_flip and rng.uniform() < cfg.horizontal_flip_prob:
             for key in ("rgb", "depth", "rays"):
+                if sample[key] is None:
+                    continue
                 sample[key] = np.ascontiguousarray(sample[key][:, ::-1])
-            sample["rays"][..., 0] *= -1.0
+            if sample["rays"] is not None:
+                sample["rays"][..., 0] *= -1.0
             k = sample["intrinsics"].copy()
             k[0, 2] = sample["rgb"].shape[1] - k[0, 2] - 1
             sample["intrinsics"] = k

@@ -110,7 +110,8 @@ class Trainer:
             seed=cfg.experiment.seed, num_threads=max(cfg.training.num_workers, 1),
             prefetch_depth=cfg.training.prefetch_factor,
             sharding=self.data_sharding,
-            max_samples=debug_limits.get("num_train_samples"))
+            max_samples=debug_limits.get("num_train_samples"),
+            use_native=cfg.data.use_native_loader)
         # validation capped at max_val_samples (production_trainer.h:242-281)
         self.val_pipe = InputPipeline(
             self.val_loader, cfg.training.batch_size, shuffle=False,
@@ -118,7 +119,8 @@ class Trainer:
             prefetch_depth=cfg.training.prefetch_factor,
             sharding=self.data_sharding,
             max_samples=debug_limits.get(
-                "num_val_samples", cfg.training.max_val_samples))
+                "num_val_samples", cfg.training.max_val_samples),
+            use_native=cfg.data.use_native_loader)
 
         # -- model / optimizer / steps
         self.model, self.loss_fn = build_model_and_loss(cfg)
