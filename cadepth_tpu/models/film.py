@@ -89,7 +89,7 @@ class FiLMConvBlock(nn.Module):
                     padding=self.kernel_size // 2, use_bias=False,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                         name="bn")(x)
+                         name="bn")(x).astype(self.dtype)
         x = FiLMLayer(self.features, dtype=self.dtype, name="film")(
             x, camera_params, train)
         return nn.relu(x)

@@ -33,14 +33,14 @@ class FiLMDoubleConv(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                         name="bn1")(x)
+                         name="bn1")(x).astype(self.dtype)
         x = nn.relu(x)
         x = FiLMLayer(self.features, dtype=self.dtype, name="film")(
             x, camera_params, train)
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                         name="bn2")(x)
+                         name="bn2")(x).astype(self.dtype)
         return nn.relu(x)
 
 

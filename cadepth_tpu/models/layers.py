@@ -27,8 +27,10 @@ class DoubleConv(nn.Module):
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
+            # BN statistics in fp32, activations stored in compute dtype —
+            # the cast fuses into the BN kernel and halves HBM traffic.
             x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                             name=f"bn{i + 1}")(x)
+                             name=f"bn{i + 1}")(x).astype(self.dtype)
             x = nn.relu(x)
         return x
 
