@@ -1,0 +1,84 @@
+"""Pallas fused-loss kernel vs the reference jnp losses (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cadepth_tpu.ops.pallas.fused_loss import (
+    fused_depth_loss_stats,
+    silog_reproj_losses,
+)
+from cadepth_tpu.losses import scale_invariant_loss, reprojection_loss
+from cadepth_tpu.geometry.intrinsics import matrix_from_k4
+
+INTERPRET = True  # CPU backend in tests; the TPU path is exercised by bench
+
+
+def make_data(rng, b=2, h=24, w=40):
+    # w=40 deliberately not lane-aligned; h=24 divisible by 8
+    pred = rng.uniform(0.2, 9.0, size=(b, h, w, 1)).astype(np.float32)
+    gt = rng.uniform(0.2, 9.0, size=(b, h, w, 1)).astype(np.float32)
+    gt[gt < 1.0] = 0.0
+    k4 = np.tile(np.array([[250.0, 260.0, w / 2, h / 2]], np.float32), (b, 1))
+    return jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(k4)
+
+
+def test_fused_losses_match_reference(rng):
+    pred, gt, k4 = make_data(rng)
+    k = matrix_from_k4(k4)
+    si_p, rep_p = silog_reproj_losses(pred, gt, k4, interpret=INTERPRET)
+    si_r = scale_invariant_loss(pred, gt)
+    rep_r = reprojection_loss(pred, gt, k)
+    assert float(si_p) == pytest.approx(float(si_r), rel=1e-5)
+    assert float(rep_p) == pytest.approx(float(rep_r), rel=1e-5)
+
+
+def test_fused_gradient_matches_reference(rng):
+    pred, gt, k4 = make_data(rng)
+    k = matrix_from_k4(k4)
+
+    def loss_p(p):
+        si, rep = silog_reproj_losses(p, gt, k4, interpret=INTERPRET)
+        return si + 0.01 * rep
+
+    def loss_r(p):
+        return (scale_invariant_loss(p, gt)
+                + 0.01 * reprojection_loss(p, gt, k))
+
+    gp = jax.grad(loss_p)(pred)
+    gr = jax.grad(loss_r)(pred)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=1e-4, atol=1e-7)
+
+
+def test_fused_stats_values(rng):
+    pred, gt, k4 = make_data(rng)
+    stats = np.asarray(fused_depth_loss_stats(
+        pred[..., 0], gt[..., 0], k4, INTERPRET))
+    g = np.asarray(gt[..., 0])
+    p = np.asarray(pred[..., 0])
+    mask = g > 1e-6
+    d = (np.log(np.clip(p, 1e-6, 1000)) - np.log(np.clip(g, 1e-6, 1000)))[mask]
+    assert stats[0] == pytest.approx(d.sum(), rel=1e-4)
+    assert stats[1] == pytest.approx((d * d).sum(), rel=1e-4)
+    assert stats[2] == mask.sum()
+
+
+def test_fused_empty_mask():
+    z = jnp.zeros((1, 8, 128, 1))
+    k4 = jnp.ones((1, 4)) * 100.0
+    si, rep = silog_reproj_losses(z, z, k4, interpret=INTERPRET)
+    assert float(si) == 0.0
+    assert float(rep) == 0.0
+
+
+def test_fused_odd_height_padding(rng):
+    # H=21 not divisible by 8 -> exercises the H-padding path
+    pred, gt, k4 = make_data(rng, b=1, h=21, w=30)
+    k = matrix_from_k4(k4)
+    si_p, rep_p = silog_reproj_losses(pred, gt, k4, interpret=INTERPRET)
+    assert float(si_p) == pytest.approx(
+        float(scale_invariant_loss(pred, gt)), rel=1e-5)
+    assert float(rep_p) == pytest.approx(
+        float(reprojection_loss(pred, gt, k)), rel=1e-5)
