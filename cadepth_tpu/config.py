@@ -230,6 +230,10 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
             "augmentation.saturation/hue are accepted but not applied "
             "(parity with sunrgbd_loader.cpp:432-443, which only implements "
             "brightness/contrast)")
+    if aug.get("random_gamma"):
+        log.warning(
+            "augmentation.random_gamma is accepted but not applied "
+            "(the reference declares it in YAML but never implements it)")
     cfg.data = DataConfig(
         dataset_name=d.get("dataset_name", "sunrgbd"),
         data_dir=d.get("data_dir", "./data/sunrgbd"),

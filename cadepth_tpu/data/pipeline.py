@@ -46,6 +46,8 @@ class InputPipeline:
         sharding: Optional[jax.sharding.Sharding] = None,
         max_samples: Optional[int] = None,
         use_native: str = "auto",
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.loader = loader
         self.batch_size = batch_size
@@ -57,6 +59,25 @@ class InputPipeline:
         self.sharding = sharding
         self.max_samples = max_samples
         self._epoch = 0
+        # Multi-host: each process loads only its slice of every global
+        # batch and assembles the global array from local shards. The
+        # reference has no multi-process loading at all (its num_workers/
+        # prefetch knobs are dead, SURVEY §2.9).
+        self.process_index = (jax.process_index() if process_index is None
+                              else process_index)
+        self.process_count = (jax.process_count() if process_count is None
+                              else process_count)
+        if batch_size % self.process_count != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process_count "
+                f"{self.process_count}")
+        self._local_bs = batch_size // self.process_count
+        if self.process_count > 1:
+            if sharding is None:
+                raise ValueError("multi-process loading requires a sharding")
+            if not drop_remainder:
+                raise ValueError(
+                    "multi-process loading requires drop_remainder=True")
         # Native C++ batch loader (GIL-free decode). "auto" uses it when the
         # shared library builds/loads AND the loader derives rays from K
         # (the native path doesn't read rays.bin side files).
@@ -139,17 +160,29 @@ class InputPipeline:
         error: list = []
 
         def emit(batch):
-            if self.sharding is not None:
+            if self.process_count > 1:
+                # assemble the global batch from this process's local shard
+                batch = {
+                    k: jax.make_array_from_process_local_data(
+                        self.sharding, v) for k, v in batch.items()
+                }
+            elif self.sharding is not None:
                 batch = jax.device_put(batch, self.sharding)
             else:
                 batch = jax.device_put(batch)
             out_q.put(batch)
 
+        def local_slice(chunk):
+            if self.process_count == 1:
+                return chunk
+            lo = self.process_index * self._local_bs
+            return chunk[lo:lo + self._local_bs]
+
         def producer_native():
             try:
                 for b in range(num_batches):
                     chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                    emit(self._native_batch(chunk))
+                    emit(self._native_batch(local_slice(chunk)))
             except Exception as exc:
                 error.append(exc)
             finally:
@@ -160,10 +193,16 @@ class InputPipeline:
                 with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
                     # Submit sample decodes for the whole epoch; assemble in
                     # order so batches stay deterministic given the seed.
+                    local_indices = [i for b in range(num_batches)
+                                     for i in local_slice(
+                                         indices[b * self.batch_size:
+                                                 (b + 1) * self.batch_size])]
                     futures = [pool.submit(self.loader.get_sample, int(i))
-                               for i in indices]
+                               for i in local_indices]
+                    per_batch = (self._local_bs if self.process_count > 1
+                                 else self.batch_size)
                     for b in range(num_batches):
-                        chunk = futures[b * self.batch_size:(b + 1) * self.batch_size]
+                        chunk = futures[b * per_batch:(b + 1) * per_batch]
                         samples = [f.result() for f in chunk]
                         emit(self._assemble(samples))
             except Exception as exc:  # surface in consumer

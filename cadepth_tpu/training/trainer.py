@@ -40,6 +40,7 @@ from cadepth_tpu.training.train_state import (
     make_predict_fn,
     make_train_step,
 )
+from cadepth_tpu.utils.profiling import StepTimer
 from cadepth_tpu.visualization.depth_viz import create_comparison
 
 CSV_HEADER = ("epoch,step,train_loss,val_loss,"
@@ -202,8 +203,10 @@ class Trainer:
         log_interval = max(cfg.training.log_interval, 1)
         losses = []
         last_logs = None
+        timer = StepTimer()
         for batch_idx, batch in enumerate(self.train_pipe):
             self.state, logs = self.train_step(self.state, batch)
+            timer.step(cfg.training.batch_size)
             losses.append(logs["total_loss"])
             last_logs = logs
             if batch_idx % log_interval == 0:
@@ -214,6 +217,9 @@ class Trainer:
                                    float(logs["grad_norm"]), step)
         if not losses:
             return 0.0
+        if timer.steps > 0:
+            self.tb.add_scalar("training/images_per_sec",
+                               timer.rate(self.state.params), epoch)
         mean_loss = float(jnp.mean(jnp.stack(losses)))
         if last_logs is not None:
             step = int(self.state.step)

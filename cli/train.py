@@ -35,6 +35,10 @@ def parse_args(argv=None):
                    help="Enable TensorBoard event writing")
     p.add_argument("--devices", type=int, default=0,
                    help="Number of devices for data parallelism (0 = all)")
+    p.add_argument("--profile", action="store_true",
+                   help="Capture a jax.profiler trace of the first epoch")
+    p.add_argument("--nan-check", action="store_true",
+                   help="Enable jax NaN debugging (slow)")
     return p.parse_args(argv)
 
 
@@ -63,8 +67,19 @@ def main(argv=None) -> int:
     print(f"JAX backend: {jax.default_backend()}, "
           f"devices: {len(jax.devices())}")
 
+    if args.nan_check:
+        from cadepth_tpu.utils import enable_nan_debugging
+
+        enable_nan_debugging()
+
     trainer = Trainer(cfg)
     try:
+        if args.profile:
+            from cadepth_tpu.utils import profile_trace
+
+            with profile_trace(str(trainer.log_dir / "profile")):
+                trainer.train_epoch(0)
+            print(f"Profile trace written to {trainer.log_dir}/profile")
         metrics = trainer.train()
     finally:
         trainer.close()
