@@ -33,6 +33,8 @@ def parse_args(argv=None):
     p.add_argument("--max-samples", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=0,
                    help="Eval batch size (0 = reference default of 1)")
+    p.add_argument("--platform", default="",
+                   help="Force a jax platform (e.g. 'cpu'); empty = default")
     return p.parse_args(argv)
 
 
@@ -40,6 +42,10 @@ def main(argv=None) -> int:
     args = parse_args(argv)
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
     import numpy as np
 
     from cadepth_tpu.config import load_config

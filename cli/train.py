@@ -39,11 +39,18 @@ def parse_args(argv=None):
                    help="Capture a jax.profiler trace of the first epoch")
     p.add_argument("--nan-check", action="store_true",
                    help="Enable jax NaN debugging (slow)")
+    p.add_argument("--platform", default="",
+                   help="Force a jax platform (e.g. 'cpu'); empty = default")
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from cadepth_tpu.config import load_config
     from cadepth_tpu.training.trainer import Trainer
