@@ -15,7 +15,7 @@ reference's host-side per-sample metric loops (`evaluator.h:142-226`).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import flax.struct
 import jax

@@ -9,7 +9,7 @@ numpy/cv2; everything returns RGB uint8 arrays.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
