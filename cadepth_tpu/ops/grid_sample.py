@@ -60,7 +60,6 @@ def grid_sample(
         raise ValueError(f"Unsupported padding_mode: {padding_mode}")
     b, h, w, _ = img.shape
     orig_dtype = img.dtype
-    imgf = img.astype(jnp.float32)
     gx = grid[..., 0].astype(jnp.float32)
     gy = grid[..., 1].astype(jnp.float32)
 
@@ -87,7 +86,11 @@ def grid_sample(
             wgt = jnp.where(valid, wgt, 0.0)
         ix = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         iy = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        return _gather_2d(imgf, iy, ix) * wgt[..., None]
+        # gather in the input dtype (XLA TPU gathers are slow and
+        # bandwidth-bound — halving element size matters for bf16), then
+        # blend in fp32; values are already bf16 so no precision is lost.
+        vals = _gather_2d(img, iy, ix).astype(jnp.float32)
+        return vals * wgt[..., None]
 
     out = (
         corner(x0, y0, wx0 * wy0)
