@@ -26,6 +26,42 @@ _SENSOR_SPECS = {
 }
 
 
+def _structured_scene(rng, rgb_w: int, rgb_h: int, fx: float, fy: float):
+    """A learnable RGB-D pair: planar floor + boxes, RGB correlated with
+    depth and surface identity (so a depth net can actually converge —
+    random-noise fixtures have no learnable signal)."""
+    u, v = np.meshgrid(np.arange(rgb_w, dtype=np.float32),
+                       np.arange(rgb_h, dtype=np.float32))
+    # background: tilted plane receding with v (floor-like), 2-9m
+    base = 2.0 + 6.0 * (1.0 - v / rgb_h) + 0.5 * (u / rgb_w)
+    depth = base.copy()
+    color = np.zeros((rgb_h, rgb_w, 3), np.float32)
+    color[..., 0] = 0.2 + 0.05 * np.sin(u / 7.0)
+    color[..., 1] = 0.3 + 0.04 * np.cos(v / 9.0)
+    color[..., 2] = 0.5
+    # boxes at random depths; each box gets a color keyed to its depth
+    for _ in range(int(rng.integers(3, 7))):
+        bw = int(rng.integers(rgb_w // 8, rgb_w // 3))
+        bh = int(rng.integers(rgb_h // 8, rgb_h // 3))
+        x0 = int(rng.integers(0, rgb_w - bw))
+        y0 = int(rng.integers(0, rgb_h - bh))
+        d = float(rng.uniform(0.8, 8.5))
+        region = depth[y0:y0 + bh, x0:x0 + bw]
+        mask = region > d  # boxes occlude what's behind them
+        region[mask] = d
+        shade = d / 10.0
+        color[y0:y0 + bh, x0:x0 + bw][mask] = [
+            0.9 - 0.7 * shade, 0.2 + 0.6 * shade, 0.4 + 0.3 * shade]
+    # mild shading by depth + noise
+    color *= (1.1 - depth[..., None] / 15.0)
+    color += rng.normal(0, 0.02, color.shape).astype(np.float32)
+    rgb = (np.clip(color, 0, 1) * 255).astype(np.uint8)
+    depth_mm = (depth * 1000).astype(np.uint16)
+    holes = rng.uniform(size=depth.shape) < 0.02
+    depth_mm[holes] = 0
+    return rgb, depth_mm
+
+
 def generate_synthetic_dataset(
     root: str,
     images_per_sensor: int = 2,
@@ -34,6 +70,7 @@ def generate_synthetic_dataset(
     with_rays: bool = False,
     with_extrinsics: bool = True,
     sensor_specs: Optional[Dict[str, tuple]] = None,
+    structured: bool = False,
 ) -> str:
     """Create a fake SUN RGB-D tree + manifest under `root`.
 
@@ -62,18 +99,25 @@ def generate_synthetic_dataset(
             (img_dir / "image").mkdir(parents=True, exist_ok=True)
             (img_dir / "depth").mkdir(parents=True, exist_ok=True)
 
-            rgb = rng.integers(0, 256, size=(rgb_h, rgb_w, 3), dtype=np.uint8)
-            cv2.imwrite(str(img_dir / "image" / "rgb.png"), rgb)
-
-            # 16-bit depth in millimeters, 500-9500mm plus some holes.
-            depth_mm = rng.integers(500, 9500, size=(d_h, d_w)).astype(np.uint16)
-            holes = rng.uniform(size=(d_h, d_w)) < 0.05
-            depth_mm[holes] = 0
-            cv2.imwrite(str(img_dir / "depth" / "depth.png"), depth_mm)
-
             fx = float(rng.uniform(0.8, 1.2)) * rgb_w
             fy = float(rng.uniform(0.8, 1.2)) * rgb_h
             cx, cy = rgb_w / 2.0, rgb_h / 2.0
+
+            if structured:
+                rgb, depth_full = _structured_scene(rng, rgb_w, rgb_h, fx, fy)
+                depth_mm = cv2.resize(depth_full, (d_w, d_h),
+                                      interpolation=cv2.INTER_NEAREST)
+            else:
+                rgb = rng.integers(0, 256, size=(rgb_h, rgb_w, 3), dtype=np.uint8)
+                # 16-bit depth in millimeters, 500-9500mm plus some holes.
+                depth_mm = rng.integers(500, 9500,
+                                        size=(d_h, d_w)).astype(np.uint16)
+                holes = rng.uniform(size=(d_h, d_w)) < 0.05
+                depth_mm[holes] = 0
+            cv2.imwrite(str(img_dir / "image" / "rgb.png"),
+                        cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
+                        if structured else rgb)
+            cv2.imwrite(str(img_dir / "depth" / "depth.png"), depth_mm)
             (img_dir / "intrinsics.txt").write_text(
                 f"{fx} 0 {cx} 0 {fy} {cy} 0 0 1\n")
             (img_dir / "scene.txt").write_text("bedroom\n")

@@ -1,0 +1,61 @@
+#!/usr/bin/env bash
+# End-to-end quality demonstration: train baseline U-Net on the
+# structured synthetic benchmark and verify it reaches the reference's
+# "excellent" metric targets (abs_rel < 0.15, rmse < 0.50, delta1 > 0.85
+# — README.md:769-775 of the reference).
+#
+# Measured on one v5e chip (2026-08-16): 40 epochs in ~12 min wall
+# (~1.5 s/epoch after compile) reaching abs_rel 0.075, rmse 0.384,
+# delta1 0.968, delta2 0.994, delta3 0.999.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+WORKDIR="${1:-/tmp/cadepth_convergence_demo}"
+mkdir -p "$WORKDIR"
+
+python - "$WORKDIR" <<'EOF'
+import sys
+from cadepth_tpu.data import generate_synthetic_dataset
+root = sys.argv[1]
+m = generate_synthetic_dataset(
+    root, images_per_sensor=60, seed=9, structured=True,
+    sensor_specs={s: (128, 96, 128, 96)
+                  for s in ("kv1", "kv2", "realsense", "xtion")})
+print("manifest:", m)
+EOF
+
+cat > "$WORKDIR/demo_config.yaml" <<EOF
+experiment: {name: "convergence_demo", seed: 7}
+data:
+  data_dir: "$WORKDIR/sunrgbd"
+  manifest_path: "$WORKDIR/sunrgbd_manifest.json"
+  input_height: 96
+  input_width: 128
+  split_filtering: true
+  compute_rays: true
+  augmentation: {random_crop: false, horizontal_flip: true, color_jitter: true}
+model: {architecture: "baseline_unet", init_features: 16}
+optimization:
+  optimizer: "adamw"
+  learning_rate: 5.0e-4
+  lr_scheduler: "cosine"
+  lr_warmup_epochs: 2
+training: {num_epochs: 40, batch_size: 16, num_workers: 4, log_interval: 5, num_vis_samples: 2}
+checkpointing: {checkpoint_dir: "$WORKDIR/ckpts", save_interval: 10}
+logging: {log_dir: "$WORKDIR/logs"}
+early_stopping: {enabled: false}
+EOF
+
+python cli/train.py --config "$WORKDIR/demo_config.yaml"
+
+python - "$WORKDIR" <<'EOF'
+import csv, sys
+rows = list(csv.DictReader(open(f"{sys.argv[1]}/logs/convergence_demo/metrics.csv")))
+last = rows[-1]
+abs_rel, rmse, a1 = float(last["abs_rel"]), float(last["rmse"]), float(last["a1"])
+print(f"\nFinal: abs_rel={abs_rel:.4f} rmse={rmse:.4f} delta1={a1:.4f}")
+ok = abs_rel < 0.15 and rmse < 0.50 and a1 > 0.85
+print("QUALITY TARGETS (reference 'excellent' thresholds):",
+      "PASSED" if ok else "FAILED")
+raise SystemExit(0 if ok else 1)
+EOF
