@@ -62,6 +62,41 @@ def _structured_scene(rng, rgb_w: int, rgb_h: int, fx: float, fy: float):
     return rgb, depth_mm
 
 
+def _projective_scene(rng, rgb_w: int, rgb_h: int, fx: float, fy: float,
+                      cx: float, cy: float):
+    """A camera-aware benchmark scene: 3D boxes of KNOWN physical sizes
+    projected through K. Apparent size = f * size / Z, so depth is only
+    recoverable by combining appearance with the intrinsics — monocular
+    cues alone are ambiguous across cameras. This is the property the
+    reference's camera-conditioned models exist to exploit.
+
+    Color encodes the physical size class (the learnable cue)."""
+    depth = np.full((rgb_h, rgb_w), 10.0, np.float32)  # far background
+    color = np.zeros((rgb_h, rgb_w, 3), np.float32)
+    color[...] = [0.15, 0.15, 0.2]
+    # size classes with distinct colors
+    classes = [(0.4, [0.9, 0.2, 0.2]), (0.8, [0.2, 0.9, 0.2]),
+               (1.6, [0.2, 0.3, 0.9])]
+    for _ in range(int(rng.integers(6, 12))):
+        size, col = classes[int(rng.integers(0, len(classes)))]
+        z = float(rng.uniform(1.5, 9.0))
+        # project a size x size square at depth z, random image position
+        pw = max(int(fx * size / z), 2)
+        ph = max(int(fy * size / z), 2)
+        if pw >= rgb_w or ph >= rgb_h:
+            continue
+        x0 = int(rng.integers(0, rgb_w - pw))
+        y0 = int(rng.integers(0, rgb_h - ph))
+        region = depth[y0:y0 + ph, x0:x0 + pw]
+        mask = region > z
+        region[mask] = z
+        color[y0:y0 + ph, x0:x0 + pw][mask] = col
+    color += rng.normal(0, 0.02, color.shape).astype(np.float32)
+    rgb = (np.clip(color, 0, 1) * 255).astype(np.uint8)
+    depth_mm = (depth * 1000).astype(np.uint16)
+    return rgb, depth_mm
+
+
 def generate_synthetic_dataset(
     root: str,
     images_per_sensor: int = 2,
@@ -71,6 +106,8 @@ def generate_synthetic_dataset(
     with_extrinsics: bool = True,
     sensor_specs: Optional[Dict[str, tuple]] = None,
     structured: bool = False,
+    projective: bool = False,
+    focal_range: tuple = (0.8, 1.2),
 ) -> str:
     """Create a fake SUN RGB-D tree + manifest under `root`.
 
@@ -99,11 +136,16 @@ def generate_synthetic_dataset(
             (img_dir / "image").mkdir(parents=True, exist_ok=True)
             (img_dir / "depth").mkdir(parents=True, exist_ok=True)
 
-            fx = float(rng.uniform(0.8, 1.2)) * rgb_w
-            fy = float(rng.uniform(0.8, 1.2)) * rgb_h
+            fx = float(rng.uniform(*focal_range)) * rgb_w
+            fy = float(rng.uniform(*focal_range)) * rgb_h
             cx, cy = rgb_w / 2.0, rgb_h / 2.0
 
-            if structured:
+            if projective:
+                rgb, depth_full = _projective_scene(rng, rgb_w, rgb_h,
+                                                    fx, fy, cx, cy)
+                depth_mm = cv2.resize(depth_full, (d_w, d_h),
+                                      interpolation=cv2.INTER_NEAREST)
+            elif structured:
                 rgb, depth_full = _structured_scene(rng, rgb_w, rgb_h, fx, fy)
                 depth_mm = cv2.resize(depth_full, (d_w, d_h),
                                       interpolation=cv2.INTER_NEAREST)
@@ -116,7 +158,7 @@ def generate_synthetic_dataset(
                 depth_mm[holes] = 0
             cv2.imwrite(str(img_dir / "image" / "rgb.png"),
                         cv2.cvtColor(rgb, cv2.COLOR_RGB2BGR)
-                        if structured else rgb)
+                        if (structured or projective) else rgb)
             cv2.imwrite(str(img_dir / "depth" / "depth.png"), depth_mm)
             (img_dir / "intrinsics.txt").write_text(
                 f"{fx} 0 {cx} 0 {fy} {cy} 0 0 1\n")

@@ -226,3 +226,36 @@ def test_load_manifest(dataset):
     _, manifest_path = dataset
     m = load_manifest(manifest_path)
     assert m["valid_images"] == 12
+
+
+def test_structured_synthetic_mode(tmp_path):
+    manifest = generate_synthetic_dataset(
+        tmp_path, images_per_sensor=1, seed=3, structured=True,
+        sensor_specs={s: (64, 48, 64, 48)
+                      for s in ("kv1", "kv2", "realsense", "xtion")})
+    loader = SunRGBDLoader(f"{tmp_path}/sunrgbd", manifest,
+                           target_height=48, target_width=64)
+    s = loader.get_sample(0)
+    d = s["depth"][s["depth"] > 0]
+    # learnable scene: smooth plane + boxes, depth within sane range
+    assert 0.5 < d.min() < d.max() < 10.0
+    # RGB correlates with structure (not uniform noise)
+    assert 0.02 < s["rgb"].std() < 0.45
+
+
+def test_projective_synthetic_mode(tmp_path):
+    manifest = generate_synthetic_dataset(
+        tmp_path, images_per_sensor=2, seed=4, projective=True,
+        focal_range=(0.6, 1.6),
+        sensor_specs={s: (64, 48, 64, 48)
+                      for s in ("kv1", "kv2", "realsense", "xtion")})
+    loader = SunRGBDLoader(f"{tmp_path}/sunrgbd", manifest,
+                           target_height=48, target_width=64)
+    fxs = []
+    for i in range(len(loader)):
+        s = loader.get_sample(i)
+        fxs.append(float(s["intrinsics"][0, 0]))
+        d = s["depth"][s["depth"] > 0]
+        assert d.max() <= 10.0 and d.min() > 1.0
+    # focal lengths actually vary (the camera-ambiguity premise)
+    assert max(fxs) / min(fxs) > 1.2
