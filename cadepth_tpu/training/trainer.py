@@ -113,7 +113,10 @@ class Trainer:
             sharding=self.data_sharding,
             max_samples=debug_limits.get("num_train_samples"),
             use_native=cfg.data.use_native_loader)
-        # validation capped at max_val_samples (production_trainer.h:242-281)
+        # Validation capped at max_val_samples (production_trainer.h:242-281).
+        # drop_remainder keeps eval batch shapes static (single compile, and
+        # DP shards stay divisible); up to batch_size-1 tail samples are
+        # skipped per pass, vs the reference's batch-1 full sweep.
         self.val_pipe = InputPipeline(
             self.val_loader, cfg.training.batch_size, shuffle=False,
             seed=cfg.experiment.seed, num_threads=max(cfg.training.num_workers, 1),

@@ -134,14 +134,20 @@ def main(argv=None) -> int:
         pred_dir.mkdir(exist_ok=True)
         from cadepth_tpu.visualization.depth_viz import save_depth_image
 
-        n = result.num_samples
-        batch_all = jax.device_put(loader.get_batch(range(min(n, len(loader)))))
-        preds = np.asarray(evaluator.predict_fn(state, batch_all))
-        for j in range(preds.shape[0]):
-            save_depth_image(str(pred_dir / f"pred_{j:04d}.png"), preds[j],
-                             colormap=args.colormap,
-                             min_depth=0.0, max_depth=cfg.validation.max_depth)
-        print(f"Saved {preds.shape[0]} predictions to {pred_dir}")
+        n = min(result.num_samples, len(loader))
+        chunk = max(args.batch_size or 1, 1)
+        saved = 0
+        for start in range(0, n, chunk):
+            idx = range(start, min(start + chunk, n))
+            batch = jax.device_put(loader.get_batch(idx))
+            preds = np.asarray(evaluator.predict_fn(state, batch))
+            for j in range(preds.shape[0]):
+                save_depth_image(
+                    str(pred_dir / f"pred_{start + j:04d}.png"), preds[j],
+                    colormap=args.colormap,
+                    min_depth=0.0, max_depth=cfg.validation.max_depth)
+                saved += 1
+        print(f"Saved {saved} predictions to {pred_dir}")
     return 0
 
 
