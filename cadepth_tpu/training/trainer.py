@@ -346,8 +346,12 @@ class Trainer:
             elif primary is not None:
                 self.epochs_without_improvement += 1
 
-            if (epoch + 1) % max(cfg.checkpointing.save_interval, 1) == 0 \
-                    or is_best or epoch == cfg.training.num_epochs - 1:
+            # save_best_only skips the periodic saves (train_config.yaml:140);
+            # best and final-epoch checkpoints are always written.
+            periodic = (not cfg.checkpointing.save_best_only
+                        and (epoch + 1) % max(cfg.checkpointing.save_interval, 1) == 0)
+            is_last = epoch == cfg.training.num_epochs - 1
+            if periodic or is_best or (is_last and cfg.checkpointing.save_last):
                 self.ckpt.save(self.state, epoch, val_metrics, is_best=is_best)
 
             msg = (f"epoch {epoch + 1}/{cfg.training.num_epochs} "

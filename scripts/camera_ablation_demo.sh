@@ -7,9 +7,11 @@
 # 0.6-1.6x. Apparent size = f*size/Z, so depth is ambiguous without K —
 # the property the reference's camera-aware models exist to exploit.
 #
-# Measured on one v5e chip (2026-08-16), 40 epochs each:
-#   baseline_unet    val abs_rel 0.191   rmse 1.242
-#   intrinsics_unet  val abs_rel 0.128   rmse 0.768   (-33% / -38%)
+# Measured on one v5e chip (2026-08-16):
+#   baseline_unet     40 ep  val abs_rel 0.191   rmse 1.242
+#   intrinsics_unet   40 ep  val abs_rel 0.128   rmse 0.768  (-33% / -38%)
+#   geometry_aware    40 ep  val abs_rel 0.192 (under-trained at equal epochs)
+#   geometry_aware   120 ep  best abs_rel 0.108  rmse 0.668  (best overall)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
