@@ -157,9 +157,11 @@ class InputPipeline:
             num_batches += 1
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
         error: list = []
 
-        def emit(batch):
+        def emit(batch) -> bool:
+            """device_put + enqueue; returns False if the consumer is gone."""
             if self.process_count > 1:
                 # assemble the global batch from this process's local shard
                 batch = {
@@ -170,7 +172,13 @@ class InputPipeline:
                 batch = jax.device_put(batch, self.sharding)
             else:
                 batch = jax.device_put(batch)
-            out_q.put(batch)
+            while not stop.is_set():
+                try:
+                    out_q.put(batch, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def local_slice(chunk):
             if self.process_count == 1:
@@ -178,11 +186,17 @@ class InputPipeline:
             lo = self.process_index * self._local_bs
             return chunk[lo:lo + self._local_bs]
 
+        def batch_indices(b):
+            return local_slice(
+                indices[b * self.batch_size:(b + 1) * self.batch_size])
+
         def producer_native():
             try:
                 for b in range(num_batches):
-                    chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                    emit(self._native_batch(local_slice(chunk)))
+                    if stop.is_set():
+                        return
+                    if not emit(self._native_batch(batch_indices(b))):
+                        return
             except Exception as exc:
                 error.append(exc)
             finally:
@@ -191,20 +205,26 @@ class InputPipeline:
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
-                    # Submit sample decodes for the whole epoch; assemble in
-                    # order so batches stay deterministic given the seed.
-                    local_indices = [i for b in range(num_batches)
-                                     for i in local_slice(
-                                         indices[b * self.batch_size:
-                                                 (b + 1) * self.batch_size])]
-                    futures = [pool.submit(self.loader.get_sample, int(i))
-                               for i in local_indices]
-                    per_batch = (self._local_bs if self.process_count > 1
-                                 else self.batch_size)
+                    # Windowed submission: only `lookahead` batches of decode
+                    # futures are in flight, bounding host memory (submitting
+                    # the whole epoch would hold every decoded sample live).
+                    lookahead = self.prefetch_depth + 2
+                    pending = {
+                        b: [pool.submit(self.loader.get_sample, int(i))
+                            for i in batch_indices(b)]
+                        for b in range(min(lookahead, num_batches))
+                    }
                     for b in range(num_batches):
-                        chunk = futures[b * per_batch:(b + 1) * per_batch]
-                        samples = [f.result() for f in chunk]
-                        emit(self._assemble(samples))
+                        if stop.is_set():
+                            return
+                        samples = [f.result() for f in pending.pop(b)]
+                        nxt = b + lookahead
+                        if nxt < num_batches and not stop.is_set():
+                            pending[nxt] = [
+                                pool.submit(self.loader.get_sample, int(i))
+                                for i in batch_indices(nxt)]
+                        if not emit(self._assemble(samples)):
+                            return
             except Exception as exc:  # surface in consumer
                 error.append(exc)
             finally:
@@ -215,11 +235,20 @@ class InputPipeline:
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is _STOP:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is _STOP:
+                    break
+                yield item
+        finally:
+            # consumer done or abandoned the iterator: release the producer
+            stop.set()
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=30)
         if error:
             raise error[0]

@@ -259,3 +259,20 @@ def test_projective_synthetic_mode(tmp_path):
         assert d.max() <= 10.0 and d.min() > 1.0
     # focal lengths actually vary (the camera-ambiguity premise)
     assert max(fxs) / min(fxs) > 1.2
+
+
+def test_pipeline_abandoned_iterator_releases_producer(dataset):
+    """Breaking out of iteration must not leave the producer blocked
+    (regression: whole-epoch future submission + blocking put)."""
+    import threading
+
+    loader = make_loader(dataset)
+    pipe = InputPipeline(loader, batch_size=2, shuffle=False,
+                         prefetch_depth=1, use_native="never")
+    before = threading.active_count()
+    it = iter(pipe)
+    next(it)
+    it.close()  # abandon mid-epoch
+    # a second full pass still works and threads don't accumulate
+    assert len(list(pipe)) == 6
+    assert threading.active_count() <= before + 2
