@@ -78,6 +78,7 @@ class ModelConfig:
     use_pcl: bool = True
     use_attention: bool = True
     variant: str = "full"
+    remat: bool = False  # gradient checkpointing for big configs
 
 
 @dataclasses.dataclass
@@ -273,6 +274,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         use_pcl=bool(m.get("use_pcl", True)),
         use_attention=bool(m.get("use_attention", True)),
         variant=m.get("variant", "full"),
+        remat=bool(m.get("remat", False)),
     )
 
     o = raw.get("optimization", {})

@@ -12,31 +12,40 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from cadepth_tpu.models.layers import DoubleConv, EncoderBlock, DecoderBlock
+from cadepth_tpu.models.layers import (
+    DoubleConv,
+    DecoderBlock,
+    EncoderBlock,
+    maybe_remat,
+)
 
 
 class BaselineUNet(nn.Module):
     in_channels: int = 3
     init_features: int = 64
     max_depth: float = 10.0
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, rgb, train: bool = False):
         f = self.init_features
         x = rgb.astype(self.dtype)
+        DC = maybe_remat(DoubleConv, (2,), self.remat)
+        Enc = maybe_remat(EncoderBlock, (2,), self.remat)
+        Dec = maybe_remat(DecoderBlock, (3,), self.remat)
 
-        skip1 = DoubleConv(f, self.dtype, name="enc1")(x, train)
-        skip2 = EncoderBlock(f * 2, self.dtype, name="enc2")(skip1, train)
-        skip3 = EncoderBlock(f * 4, self.dtype, name="enc3")(skip2, train)
-        skip4 = EncoderBlock(f * 8, self.dtype, name="enc4")(skip3, train)
+        skip1 = DC(f, self.dtype, name="enc1")(x, train)
+        skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, train)
+        skip3 = Enc(f * 4, self.dtype, name="enc3")(skip2, train)
+        skip4 = Enc(f * 8, self.dtype, name="enc4")(skip3, train)
 
-        x = EncoderBlock(f * 16, self.dtype, name="bottleneck")(skip4, train)
+        x = Enc(f * 16, self.dtype, name="bottleneck")(skip4, train)
 
-        x = DecoderBlock(f * 8, self.dtype, name="dec4")(x, skip4, train)
-        x = DecoderBlock(f * 4, self.dtype, name="dec3")(x, skip3, train)
-        x = DecoderBlock(f * 2, self.dtype, name="dec2")(x, skip2, train)
-        x = DecoderBlock(f, self.dtype, name="dec1")(x, skip1, train)
+        x = Dec(f * 8, self.dtype, name="dec4")(x, skip4, train)
+        x = Dec(f * 4, self.dtype, name="dec3")(x, skip3, train)
+        x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, train)
+        x = Dec(f, self.dtype, name="dec1")(x, skip1, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
             x.astype(jnp.float32))

@@ -43,6 +43,7 @@ def create_model(
     use_pcl: bool = True,
     use_attention: bool = True,
     variant: str = "full",
+    remat: bool = False,
     dtype: Any = jnp.bfloat16,
 ) -> nn.Module:
     """Build a model by architecture string (train_config.yaml `model:` block).
@@ -52,28 +53,33 @@ def create_model(
     """
     if architecture == "baseline_unet":
         return BaselineUNet(in_channels=in_channels, init_features=init_features,
-                            max_depth=max_depth, dtype=dtype)
+                            max_depth=max_depth, remat=remat, dtype=dtype)
     if architecture == "intrinsics_unet":
         return IntrinsicsConditionedUNet(
             in_channels=in_channels, init_features=init_features,
-            camera_dim=camera_dim, max_depth=max_depth, dtype=dtype)
+            camera_dim=camera_dim, max_depth=max_depth, remat=remat,
+            dtype=dtype)
     if architecture == "intrinsics_attention_unet":
         return IntrinsicsAttentionUNet(
             in_channels=in_channels, init_features=init_features,
-            camera_dim=camera_dim, max_depth=max_depth, dtype=dtype)
+            camera_dim=camera_dim, max_depth=max_depth, remat=remat,
+            dtype=dtype)
     if architecture == "geometry_aware":
         if variant == "lightweight":
             return LightweightGeometryNetwork(
                 in_channels=in_channels, init_features=min(init_features, 32),
-                camera_dim=camera_dim, max_depth=max_depth, dtype=dtype)
+                camera_dim=camera_dim, max_depth=max_depth, remat=remat,
+                dtype=dtype)
         return GeometryAwareNetwork(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth,
-            use_pcl=use_pcl, use_attention=use_attention, dtype=dtype)
+            use_pcl=use_pcl, use_attention=use_attention, remat=remat,
+            dtype=dtype)
     if architecture == "geometry_aware_lightweight":
         return LightweightGeometryNetwork(
             in_channels=in_channels, init_features=min(init_features, 32),
-            camera_dim=camera_dim, max_depth=max_depth, dtype=dtype)
+            camera_dim=camera_dim, max_depth=max_depth, remat=remat,
+            dtype=dtype)
     raise ValueError(
         f"Unknown architecture '{architecture}'; expected one of {ARCHITECTURES}")
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from cadepth_tpu.geometry.intrinsics import normalize_k4
 from cadepth_tpu.models.attention import CBAM
 from cadepth_tpu.models.film import FiLMLayer
-from cadepth_tpu.models.layers import pad_to_match
+from cadepth_tpu.models.layers import maybe_remat, pad_to_match
 from cadepth_tpu.models.pcl import PerspectiveCorrectionLayer
 from cadepth_tpu.ops.resize import avg_pool2d
 
@@ -116,6 +116,7 @@ class GeometryAwareNetwork(nn.Module):
     max_depth: float = 10.0
     use_pcl: bool = True
     use_attention: bool = True
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -127,34 +128,38 @@ class GeometryAwareNetwork(nn.Module):
         x = rgb.astype(self.dtype)
         rays = ray_directions
 
-        skip1 = RayEnhancedConv(f, self.dtype, name="enc1")(x, cam, rays, train)
-        skip2 = GeometryEncoderBlock(f * 2, self.use_attention, self.dtype,
-                                     name="enc2")(skip1, cam, None, train)
-        skip3 = GeometryEncoderBlock(f * 4, self.use_attention, self.dtype,
-                                     name="enc3")(skip2, cam, None, train)
-        skip4 = GeometryEncoderBlock(f * 8, self.use_attention, self.dtype,
-                                     name="enc4")(skip3, cam, None, train)
-        skip5 = GeometryEncoderBlock(f * 16, self.use_attention, self.dtype,
-                                     name="enc5")(skip4, cam, None, train)
+        RayConv = maybe_remat(RayEnhancedConv, (4,), self.remat)
+        Enc = maybe_remat(GeometryEncoderBlock, (4,), self.remat)
+        Dec = maybe_remat(GeometryDecoderBlock, (5,), self.remat)
 
-        x = GeometryEncoderBlock(f * 32, self.use_attention, self.dtype,
-                                 name="bottleneck")(skip5, cam, None, train)
+        skip1 = RayConv(f, self.dtype, name="enc1")(x, cam, rays, train)
+        skip2 = Enc(f * 2, self.use_attention, self.dtype,
+                    name="enc2")(skip1, cam, None, train)
+        skip3 = Enc(f * 4, self.use_attention, self.dtype,
+                    name="enc3")(skip2, cam, None, train)
+        skip4 = Enc(f * 8, self.use_attention, self.dtype,
+                    name="enc4")(skip3, cam, None, train)
+        skip5 = Enc(f * 16, self.use_attention, self.dtype,
+                    name="enc5")(skip4, cam, None, train)
+
+        x = Enc(f * 32, self.use_attention, self.dtype,
+                name="bottleneck")(skip5, cam, None, train)
 
         # Decoder rays at factors 16/8/4/2/1 (`geometry_aware_network.h:310-316`).
-        x = GeometryDecoderBlock(f * 16, self.use_pcl, self.use_attention,
-                                 self.dtype, name="dec5")(
+        x = Dec(f * 16, self.use_pcl, self.use_attention,
+                self.dtype, name="dec5")(
             x, skip5, cam, avg_pool2d(rays, 16), train)
-        x = GeometryDecoderBlock(f * 8, self.use_pcl, self.use_attention,
-                                 self.dtype, name="dec4")(
+        x = Dec(f * 8, self.use_pcl, self.use_attention,
+                self.dtype, name="dec4")(
             x, skip4, cam, avg_pool2d(rays, 8), train)
-        x = GeometryDecoderBlock(f * 4, self.use_pcl, self.use_attention,
-                                 self.dtype, name="dec3")(
+        x = Dec(f * 4, self.use_pcl, self.use_attention,
+                self.dtype, name="dec3")(
             x, skip3, cam, avg_pool2d(rays, 4), train)
-        x = GeometryDecoderBlock(f * 2, self.use_pcl, self.use_attention,
-                                 self.dtype, name="dec2")(
+        x = Dec(f * 2, self.use_pcl, self.use_attention,
+                self.dtype, name="dec2")(
             x, skip2, cam, avg_pool2d(rays, 2), train)
-        x = GeometryDecoderBlock(f, self.use_pcl, self.use_attention,
-                                 self.dtype, name="dec1")(
+        x = Dec(f, self.use_pcl, self.use_attention,
+                self.dtype, name="dec1")(
             x, skip1, cam, rays, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
@@ -172,6 +177,7 @@ class LightweightGeometryNetwork(nn.Module):
     init_features: int = 32
     camera_dim: int = 4
     max_depth: float = 10.0
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -182,25 +188,28 @@ class LightweightGeometryNetwork(nn.Module):
         cam = normalize_k4(camera_intrinsics, width=w, height=h)
         x = rgb.astype(self.dtype)
         rays = ray_directions
+        RayConv = maybe_remat(RayEnhancedConv, (4,), self.remat)
+        Enc = maybe_remat(GeometryEncoderBlock, (4,), self.remat)
+        Dec = maybe_remat(GeometryDecoderBlock, (5,), self.remat)
 
-        skip1 = RayEnhancedConv(f, self.dtype, name="enc1")(x, cam, rays, train)
-        skip2 = GeometryEncoderBlock(f * 2, True, self.dtype, name="enc2")(
+        skip1 = RayConv(f, self.dtype, name="enc1")(x, cam, rays, train)
+        skip2 = Enc(f * 2, True, self.dtype, name="enc2")(
             skip1, cam, None, train)
-        skip3 = GeometryEncoderBlock(f * 4, True, self.dtype, name="enc3")(
+        skip3 = Enc(f * 4, True, self.dtype, name="enc3")(
             skip2, cam, None, train)
-        skip4 = GeometryEncoderBlock(f * 8, True, self.dtype, name="enc4")(
+        skip4 = Enc(f * 8, True, self.dtype, name="enc4")(
             skip3, cam, None, train)
 
-        x = GeometryEncoderBlock(f * 16, True, self.dtype, name="bottleneck")(
+        x = Enc(f * 16, True, self.dtype, name="bottleneck")(
             skip4, cam, None, train)
 
-        x = GeometryDecoderBlock(f * 8, True, True, self.dtype, name="dec4")(
+        x = Dec(f * 8, True, True, self.dtype, name="dec4")(
             x, skip4, cam, avg_pool2d(rays, 8), train)
-        x = GeometryDecoderBlock(f * 4, True, True, self.dtype, name="dec3")(
+        x = Dec(f * 4, True, True, self.dtype, name="dec3")(
             x, skip3, cam, avg_pool2d(rays, 4), train)
-        x = GeometryDecoderBlock(f * 2, True, True, self.dtype, name="dec2")(
+        x = Dec(f * 2, True, True, self.dtype, name="dec2")(
             x, skip2, cam, avg_pool2d(rays, 2), train)
-        x = GeometryDecoderBlock(f, True, True, self.dtype, name="dec1")(
+        x = Dec(f, True, True, self.dtype, name="dec1")(
             x, skip1, cam, rays, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from cadepth_tpu.geometry.intrinsics import normalize_k4
 from cadepth_tpu.models.attention import CBAM
 from cadepth_tpu.models.film import FiLMLayer
-from cadepth_tpu.models.layers import pad_to_match
+from cadepth_tpu.models.layers import maybe_remat, pad_to_match
 
 
 class FiLMDoubleConv(nn.Module):
@@ -84,6 +84,7 @@ class IntrinsicsConditionedUNet(nn.Module):
     init_features: int = 64
     camera_dim: int = 4
     max_depth: float = 10.0
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -92,18 +93,21 @@ class IntrinsicsConditionedUNet(nn.Module):
         h, w = rgb.shape[1], rgb.shape[2]
         cam = normalize_k4(camera_intrinsics, width=w, height=h)
         x = rgb.astype(self.dtype)
+        DC = maybe_remat(FiLMDoubleConv, (3,), self.remat)
+        Enc = maybe_remat(FiLMEncoderBlock, (3,), self.remat)
+        Dec = maybe_remat(FiLMDecoderBlock, (4,), self.remat)
 
-        skip1 = FiLMDoubleConv(f, self.dtype, name="enc1")(x, cam, train)
-        skip2 = FiLMEncoderBlock(f * 2, self.dtype, name="enc2")(skip1, cam, train)
-        skip3 = FiLMEncoderBlock(f * 4, self.dtype, name="enc3")(skip2, cam, train)
-        skip4 = FiLMEncoderBlock(f * 8, self.dtype, name="enc4")(skip3, cam, train)
+        skip1 = DC(f, self.dtype, name="enc1")(x, cam, train)
+        skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, cam, train)
+        skip3 = Enc(f * 4, self.dtype, name="enc3")(skip2, cam, train)
+        skip4 = Enc(f * 8, self.dtype, name="enc4")(skip3, cam, train)
 
-        x = FiLMEncoderBlock(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
+        x = Enc(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
 
-        x = FiLMDecoderBlock(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
-        x = FiLMDecoderBlock(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
-        x = FiLMDecoderBlock(f * 2, self.dtype, name="dec2")(x, skip2, cam, train)
-        x = FiLMDecoderBlock(f, self.dtype, name="dec1")(x, skip1, cam, train)
+        x = Dec(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
+        x = Dec(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
+        x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, cam, train)
+        x = Dec(f, self.dtype, name="dec1")(x, skip1, cam, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
             x.astype(jnp.float32))
@@ -117,6 +121,7 @@ class IntrinsicsAttentionUNet(nn.Module):
     init_features: int = 64
     camera_dim: int = 4
     max_depth: float = 10.0
+    remat: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -125,21 +130,24 @@ class IntrinsicsAttentionUNet(nn.Module):
         h, w = rgb.shape[1], rgb.shape[2]
         cam = normalize_k4(camera_intrinsics, width=w, height=h)
         x = rgb.astype(self.dtype)
+        DC = maybe_remat(FiLMDoubleConv, (3,), self.remat)
+        Enc = maybe_remat(FiLMEncoderBlock, (3,), self.remat)
+        Dec = maybe_remat(FiLMDecoderBlock, (4,), self.remat)
 
-        skip1 = FiLMDoubleConv(f, self.dtype, name="enc1")(x, cam, train)
-        skip2 = FiLMEncoderBlock(f * 2, self.dtype, name="enc2")(skip1, cam, train)
-        skip3 = FiLMEncoderBlock(f * 4, self.dtype, name="enc3")(skip2, cam, train)
-        skip4 = FiLMEncoderBlock(f * 8, self.dtype, name="enc4")(skip3, cam, train)
+        skip1 = DC(f, self.dtype, name="enc1")(x, cam, train)
+        skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, cam, train)
+        skip3 = Enc(f * 4, self.dtype, name="enc3")(skip2, cam, train)
+        skip4 = Enc(f * 8, self.dtype, name="enc4")(skip3, cam, train)
 
-        x = FiLMEncoderBlock(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
+        x = Enc(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
 
-        x = FiLMDecoderBlock(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
+        x = Dec(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
         x = CBAM(f * 8, dtype=self.dtype, name="att4")(x)
-        x = FiLMDecoderBlock(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
+        x = Dec(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
         x = CBAM(f * 4, dtype=self.dtype, name="att3")(x)
-        x = FiLMDecoderBlock(f * 2, self.dtype, name="dec2")(x, skip2, cam, train)
+        x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, cam, train)
         x = CBAM(f * 2, dtype=self.dtype, name="att2")(x)
-        x = FiLMDecoderBlock(f, self.dtype, name="dec1")(x, skip1, cam, train)
+        x = Dec(f, self.dtype, name="dec1")(x, skip1, cam, train)
         x = CBAM(f, dtype=self.dtype, name="att1")(x)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(

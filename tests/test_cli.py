@@ -113,3 +113,23 @@ def test_compare_models_cli(tiny_yaml):
     r = run_cli("compare_models.py", str(eval_dir), str(eval_dir))
     assert r.returncode == 0, r.stderr
     assert "Statistical comparison" in r.stdout
+
+
+def test_infer_cli(tiny_yaml, dataset, tmp_path):
+    cfg_path, out = tiny_yaml
+    ckpts = Path(out) / "ckpts" / "cli_test"
+    if not ckpts.exists():
+        pytest.skip("train checkpoint missing (ordering)")
+    root, _ = dataset
+    # use a fixture RGB + its intrinsics
+    scene = sorted(Path(f"{root}/sunrgbd/kv1").iterdir())[0]
+    img = next((scene / "image").iterdir())
+    r = run_cli("infer.py", "--checkpoint", "latest", "--config", cfg_path,
+                "--image", str(img), "--intrinsics",
+                str(scene / "intrinsics.txt"),
+                "--output", str(tmp_path / "inf"), "--platform", "cpu",
+                "--save-npy")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Depth: min=" in r.stdout
+    outs = list((tmp_path / "inf").iterdir())
+    assert len(outs) == 3  # depth.png, vis.png, npy

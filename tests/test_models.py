@@ -238,3 +238,14 @@ def test_models_jit_with_bf16(rng):
     out = fwd(variables, rgb, rays, k4)
     assert out.dtype == jnp.float32  # output head is fp32
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_remat_identical_outputs(rng):
+    """Gradient checkpointing must not change numerics."""
+    rgb, rays, k4 = make_inputs(rng, b=1)
+    m0 = GeometryAwareNetwork(init_features=4, remat=False, dtype=jnp.float32)
+    m1 = GeometryAwareNetwork(init_features=4, remat=True, dtype=jnp.float32)
+    variables = m0.init(jax.random.PRNGKey(0), rgb, rays, k4)
+    o0 = m0.apply(variables, rgb, rays, k4)
+    o1 = m1.apply(variables, rgb, rays, k4)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
