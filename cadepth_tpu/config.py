@@ -265,14 +265,19 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
     )
 
     m = raw.get("model", {})
+    arch = m.get("architecture", "baseline_unet")
+    # per-arch use_attention default parity: false for intrinsics_unet
+    # (train_main.cpp:192 `as<bool>(false)`), true for geometry_aware
+    # (train_main.cpp:203 `as<bool>(true)`)
+    att_default = arch != "intrinsics_unet"
     cfg.model = ModelConfig(
-        architecture=m.get("architecture", "baseline_unet"),
+        architecture=arch,
         in_channels=int(m.get("in_channels", 3)),
         init_features=int(m.get("init_features", 64)),
         max_depth=float(m.get("max_depth", 10.0)),
         camera_dim=int(m.get("camera_dim", 4)),
         use_pcl=bool(m.get("use_pcl", True)),
-        use_attention=bool(m.get("use_attention", True)),
+        use_attention=bool(m.get("use_attention", att_default)),
         variant=m.get("variant", "full"),
         remat=bool(m.get("remat", False)),
     )

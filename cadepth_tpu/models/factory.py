@@ -48,13 +48,20 @@ def create_model(
 ) -> nn.Module:
     """Build a model by architecture string (train_config.yaml `model:` block).
 
-    `geometry_aware` honors `variant: full|lightweight`
-    (`train_main.cpp:195-213`).
+    Dispatch parity with `createModel` (`train_main.cpp:186-213`):
+    `intrinsics_unet` + `use_attention` selects the CBAM variant, and
+    `geometry_aware` honors `variant: full|lightweight`.
+    `intrinsics_attention_unet` is an explicit alias.
     """
     if architecture == "baseline_unet":
         return BaselineUNet(in_channels=in_channels, init_features=init_features,
                             max_depth=max_depth, remat=remat, dtype=dtype)
     if architecture == "intrinsics_unet":
+        if use_attention:
+            return IntrinsicsAttentionUNet(
+                in_channels=in_channels, init_features=init_features,
+                camera_dim=camera_dim, max_depth=max_depth, remat=remat,
+                dtype=dtype)
         return IntrinsicsConditionedUNet(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth, remat=remat,

@@ -100,6 +100,34 @@ class TensorBoardLogger:
             except Exception:
                 self._writer = _FileFallbackWriter(log_dir)
 
+    def add_custom_scalars_layout(self) -> None:
+        """Dashboard panel layout, parity with `tensorboard_writer.py:48-72`
+        (Training / Metrics / Model panels)."""
+        if self._writer is None or not hasattr(self._writer, "add_custom_scalars"):
+            return
+        try:
+            self._writer.add_custom_scalars({
+                "Training": {
+                    "Loss": ["Multiline", ["loss/train", "loss/val"]],
+                    "Learning Rate": ["Multiline", ["training/learning_rate"]],
+                    "Throughput": ["Multiline", ["training/images_per_sec"]],
+                },
+                "Metrics": {
+                    "Errors": ["Multiline", ["metrics/abs_rel", "metrics/rmse",
+                                             "metrics/rmse_log"]],
+                    "Accuracy": ["Multiline", ["metrics/a1", "metrics/a2",
+                                               "metrics/a3"]],
+                },
+                "Model": {
+                    "Gradients": ["Multiline", ["training/gradient_norm"]],
+                    "Loss Components": ["Multiline", [
+                        "loss_components/si", "loss_components/grad",
+                        "loss_components/smooth", "loss_components/reproj"]],
+                },
+            })
+        except Exception:
+            pass
+
     def add_scalar(self, tag: str, value: float, step: int) -> None:
         if self._writer is not None:
             self._writer.add_scalar(tag, float(value), step)

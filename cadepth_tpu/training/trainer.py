@@ -277,6 +277,7 @@ class Trainer:
         self.log(f"train_samples={len(self.train_loader)} "
                  f"val_samples={len(self.val_loader)}")
         self.log("=" * 55)
+        self.tb.add_custom_scalars_layout()
         self.tb.add_text("model/architecture",
                          f"{cfg.model.architecture} ({self.num_params:,} params)")
         self.tb.add_hparams({

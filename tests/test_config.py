@@ -115,3 +115,12 @@ def test_reference_config_loads():
                        experiment="geometry_aware_lightweight")
     assert cfg2.model.architecture == "geometry_aware"
     assert cfg2.model.variant == "lightweight"
+
+
+def test_use_attention_per_arch_defaults():
+    """train_main.cpp: use_attention defaults false for intrinsics_unet,
+    true for geometry_aware."""
+    cfg_i = config_from_dict({"model": {"architecture": "intrinsics_unet"}})
+    assert cfg_i.model.use_attention is False
+    cfg_g = config_from_dict({"model": {"architecture": "geometry_aware"}})
+    assert cfg_g.model.use_attention is True

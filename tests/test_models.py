@@ -249,3 +249,14 @@ def test_remat_identical_outputs(rng):
     o0 = m0.apply(variables, rgb, rays, k4)
     o1 = m1.apply(variables, rgb, rays, k4)
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_factory_intrinsics_attention_dispatch():
+    """Parity with createModel (train_main.cpp:186-213): intrinsics_unet +
+    use_attention selects the CBAM variant."""
+    m1 = create_model("intrinsics_unet", init_features=4, use_attention=False,
+                      dtype=jnp.float32)
+    m2 = create_model("intrinsics_unet", init_features=4, use_attention=True,
+                      dtype=jnp.float32)
+    assert isinstance(m1, IntrinsicsConditionedUNet)
+    assert isinstance(m2, IntrinsicsAttentionUNet)
