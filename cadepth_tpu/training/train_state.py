@@ -143,6 +143,9 @@ def make_train_step(
         (_, (comps, new_batch_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
         grad_norm = optax.global_norm(grads)
+        grad_leaves = jax.tree_util.tree_leaves(grads)
+        grad_max = jnp.max(jnp.stack([jnp.max(g) for g in grad_leaves]))
+        grad_min = jnp.min(jnp.stack([jnp.min(g) for g in grad_leaves]))
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -153,6 +156,8 @@ def make_train_step(
         )
         logs = dict(comps)
         logs["grad_norm"] = grad_norm
+        logs["grad_max"] = grad_max
+        logs["grad_min"] = grad_min
         return new_state, logs
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

@@ -218,6 +218,14 @@ class Trainer:
                                    float(logs["total_loss"]), step)
                 self.tb.add_scalar("training/gradient_norm",
                                    float(logs["grad_norm"]), step)
+                # gradients/{norm,max,min} tag parity
+                # (tensorboard_trainer_enhanced.h:523-555)
+                self.tb.add_scalar("gradients/norm",
+                                   float(logs["grad_norm"]), step)
+                self.tb.add_scalar("gradients/max",
+                                   float(logs["grad_max"]), step)
+                self.tb.add_scalar("gradients/min",
+                                   float(logs["grad_min"]), step)
         if not losses:
             return 0.0
         if timer.steps > 0:
