@@ -82,3 +82,30 @@ def test_fused_odd_height_padding(rng):
         float(scale_invariant_loss(pred, gt)), rel=1e-5)
     assert float(rep_p) == pytest.approx(
         float(reprojection_loss(pred, gt, k)), rel=1e-5)
+
+
+def test_affine_warp_matches_grid_sample(rng):
+    """Experimental banded warp kernel (interpret mode): exact vs the
+    torch-parity grid_sample over affine grids within the band bound."""
+    from cadepth_tpu.ops.pallas.affine_warp import (
+        pallas_affine_warp,
+        max_rotation_rows,
+    )
+    from cadepth_tpu.ops.grid_sample import affine_grid
+    from cadepth_tpu.ops import grid_sample
+
+    cases = {
+        "identity": np.array([[1, 0, 0], [0, 1, 0.0]]),
+        "zoom_shift": np.array([[1.3, 0, 0.2], [0, 0.7, -0.3]]),
+        "rotation": np.array([[0.999, -0.037, 0], [0.037, 0.999, 0.0]]),
+        "oob_translate": np.array([[1, 0, 0.9], [0, 1, 0.9]]),
+    }
+    b, h, w, c = 2, 32, 300, 8
+    img = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    for name, th in cases.items():
+        theta = jnp.asarray(np.tile(th[None], (b, 1, 1)).astype(np.float32))
+        assert float(max_rotation_rows(theta, h, w).max()) + 2 <= 16, name
+        ref = grid_sample(img, affine_grid(theta, h, w))
+        got = pallas_affine_warp(img, theta, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=5e-4, err_msg=name)
