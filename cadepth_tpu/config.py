@@ -374,7 +374,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         device=h.get("device", "tpu"),
         num_devices=int(h.get("num_devices", h.get("num_gpus", 0) or 0)),
         data_parallel=bool(h.get("data_parallel",
-                                 h.get("distributed", True) or True)),
+                                 h.get("distributed", True))),
         mesh_axis=h.get("mesh_axis", "data"),
     )
     return cfg

@@ -123,6 +123,19 @@ class InputPipeline:
             ).astype(np.float32),
         }
 
+    def _to_device(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
+        """device_put a host batch; multi-process assembles the global array
+        from this process's local shard (pipeline contract: every process
+        calls this with the same global batch's local slice)."""
+        if self.process_count > 1:
+            return {
+                k: jax.make_array_from_process_local_data(self.sharding, v)
+                for k, v in batch.items()
+            }
+        if self.sharding is not None:
+            return jax.device_put(batch, self.sharding)
+        return jax.device_put(batch)
+
     def _native_batch(self, batch_indices) -> Dict[str, np.ndarray]:
         loader = self.loader
         dirs = [str(loader.sample_paths[int(i)]["image_dir"])
@@ -141,8 +154,9 @@ class InputPipeline:
                 "brightness_delta": cfg.brightness_delta,
                 "contrast_delta": cfg.contrast_delta,
             }
-            # per-(seed, index) streams like the Python loader
-            seeds = [(cfg.random_seed << 20) ^ int(i) for i in batch_indices]
+            # per-(seed, epoch, index) streams like the Python loader
+            seeds = [(cfg.random_seed << 20) ^ (loader.epoch << 40) ^ int(i)
+                     for i in batch_indices]
         return self._native_mod.load_batch(
             dirs, loader.target_height, loader.target_width,
             augment=augment, aug_seeds=seeds, compute_rays=True,
@@ -150,6 +164,9 @@ class InputPipeline:
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         indices = self._epoch_indices()
+        # Re-key augmentation per epoch (see SunRGBDLoader.set_epoch); the
+        # producer thread reads loader.epoch, set once before it starts.
+        self.loader.set_epoch(self._epoch)
         self._epoch += 1
         num_batches = len(indices) // self.batch_size
         remainder = len(indices) % self.batch_size
@@ -162,16 +179,7 @@ class InputPipeline:
 
         def emit(batch) -> bool:
             """device_put + enqueue; returns False if the consumer is gone."""
-            if self.process_count > 1:
-                # assemble the global batch from this process's local shard
-                batch = {
-                    k: jax.make_array_from_process_local_data(
-                        self.sharding, v) for k, v in batch.items()
-                }
-            elif self.sharding is not None:
-                batch = jax.device_put(batch, self.sharding)
-            else:
-                batch = jax.device_put(batch)
+            batch = self._to_device(batch)
             while not stop.is_set():
                 try:
                     out_q.put(batch, timeout=0.2)

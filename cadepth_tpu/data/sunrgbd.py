@@ -95,6 +95,7 @@ class SunRGBDLoader:
         self.compute_rays = compute_rays
         self.augmentation_enabled = False
         self.aug_config = AugmentationConfig()
+        self.epoch = 0
         self._rng = np.random.default_rng(42)
         self.sample_paths: List[dict] = []
         self._load_manifest()
@@ -135,6 +136,13 @@ class SunRGBDLoader:
 
     def disable_augmentation(self) -> None:
         self.augmentation_enabled = False
+
+    def set_epoch(self, epoch: int) -> None:
+        """Mix the epoch into per-sample augmentation RNG keys so each epoch
+        re-draws crop/flip/jitter (the reference's shared sequential mt19937
+        advances across epochs, `sunrgbd_loader.cpp:23,185`; a pure
+        (seed, index) key would freeze each sample's augmentation forever)."""
+        self.epoch = int(epoch)
 
     def set_target_dimensions(self, height: int, width: int) -> None:
         self.target_height = height
@@ -326,12 +334,13 @@ class SunRGBDLoader:
         """Crop/flip/jitter with camera-consistent K updates
         (`sunrgbd_loader.cpp:352-443`).
 
-        The RNG is derived per (seed, index) instead of the reference's
-        shared sequential mt19937 (`sunrgbd_loader.cpp:23,185`) so that the
-        threaded pipeline stays deterministic and race-free.
+        The RNG is derived per (seed, epoch, index) instead of the
+        reference's shared sequential mt19937 (`sunrgbd_loader.cpp:23,185`)
+        so that the threaded pipeline stays deterministic and race-free
+        while still re-drawing augmentations every epoch (set_epoch).
         """
         cfg = self.aug_config
-        rng = np.random.default_rng([cfg.random_seed, index])
+        rng = np.random.default_rng([cfg.random_seed, self.epoch, index])
 
         if cfg.enable_random_crop:
             scale = rng.uniform(cfg.crop_scale_min, cfg.crop_scale_max)

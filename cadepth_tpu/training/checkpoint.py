@@ -95,6 +95,15 @@ class CheckpointManager:
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
         return self._checkpointer.restore(Path(path).absolute(), abstract)
 
+    def best_metric_value(self) -> Optional[float]:
+        """The monitored metric stored with the best/ checkpoint, if any."""
+        meta_path = self._meta_path(self.best_dir)
+        if not meta_path.exists():
+            return None
+        metrics = json.loads(meta_path.read_text()).get("metrics", {})
+        value = metrics.get(self.metric_name)
+        return float(value) if value is not None else None
+
     def restore_with_meta(self, path: str, target: TrainState):
         state = self.restore(path, target)
         meta_path = self._meta_path(Path(path).absolute())

@@ -170,6 +170,10 @@ class Trainer:
             else float("-inf")
         self.epochs_without_improvement = 0
         self.history: list = []
+        # When set, train() wraps the FIRST epoch in a jax.profiler trace —
+        # profiled runs take the same optimizer/LR trajectory as unprofiled
+        # ones (no separate throwaway epoch).
+        self.profile_dir: Optional[str] = None
 
         resume_from = cfg.checkpointing.resume_from
         if resume_from:
@@ -179,8 +183,20 @@ class Trainer:
                 self.state, meta = self.ckpt.restore_with_meta(path, self.state)
                 self.start_epoch = int(meta.get("epoch", 0)) + 1
                 metrics = meta.get("metrics", {})
+                # Seed best_metric from BOTH the resumed checkpoint and the
+                # stored best/ checkpoint: resuming from 'latest' (which may
+                # be worse than best/) must not let a mediocre later epoch
+                # overwrite the true best model.
+                candidates = []
                 if self.cfg.validation.primary_metric in metrics:
-                    self.best_metric = metrics[self.cfg.validation.primary_metric]
+                    candidates.append(
+                        float(metrics[self.cfg.validation.primary_metric]))
+                stored_best = self.ckpt.best_metric_value()
+                if stored_best is not None:
+                    candidates.append(stored_best)
+                if candidates:
+                    pick = min if cfg.validation.metric_mode == "min" else max
+                    self.best_metric = pick(candidates)
                 self.log(f"Resumed from {path} at epoch {self.start_epoch}")
 
     # -- logging helpers ------------------------------------------------------
@@ -301,7 +317,14 @@ class Trainer:
         final_metrics: Dict[str, float] = {}
         for epoch in range(self.start_epoch, cfg.training.num_epochs):
             epoch_start = time.time()
-            train_loss = self.train_epoch(epoch)
+            if self.profile_dir and epoch == self.start_epoch:
+                from cadepth_tpu.utils import profile_trace
+
+                with profile_trace(self.profile_dir):
+                    train_loss = self.train_epoch(epoch)
+                self.log(f"Profile trace written to {self.profile_dir}")
+            else:
+                train_loss = self.train_epoch(epoch)
             epoch_time = time.time() - epoch_start
             step = int(self.state.step)
             lr = float(self.lr_schedule(step))

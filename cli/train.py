@@ -82,11 +82,9 @@ def main(argv=None) -> int:
     trainer = Trainer(cfg)
     try:
         if args.profile:
-            from cadepth_tpu.utils import profile_trace
-
-            with profile_trace(str(trainer.log_dir / "profile")):
-                trainer.train_epoch(0)
-            print(f"Profile trace written to {trainer.log_dir}/profile")
+            # traces the FIRST training epoch in-place (no extra epoch that
+            # would advance the optimizer/LR schedule before the real run)
+            trainer.profile_dir = str(trainer.log_dir / "profile")
         metrics = trainer.train()
     finally:
         trainer.close()

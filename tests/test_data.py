@@ -179,7 +179,7 @@ def test_color_jitter_formula(dataset):
     s_aug = loader.get_sample(0)
     loader.disable_augmentation()
     s_raw = loader.get_sample(0)
-    rng = np.random.default_rng([5, 0])
+    rng = np.random.default_rng([5, 0, 0])  # (seed, epoch, index)
     brightness = rng.uniform(0.8, 1.2)
     contrast = rng.uniform(0.8, 1.2)
     want = np.clip(s_raw["rgb"] * contrast + brightness - 1.0, 0.0, 1.0)
@@ -276,3 +276,68 @@ def test_pipeline_abandoned_iterator_releases_producer(dataset):
     # a second full pass still works and threads don't accumulate
     assert len(list(pipe)) == 6
     assert threading.active_count() <= before + 2
+
+
+def test_augmentation_redraws_per_epoch(dataset):
+    """set_epoch must change augmentation draws (ADVICE r1: a pure
+    (seed, index) key froze each sample's augmentation for the whole run)."""
+    loader = make_loader(dataset, split="train")
+    loader.enable_augmentation(AugmentationConfig(random_seed=11))
+    loader.set_epoch(0)
+    a = loader.get_sample(2)
+    loader.set_epoch(1)
+    b = loader.get_sample(2)
+    loader.set_epoch(0)
+    c = loader.get_sample(2)
+    # different epoch -> different draw; same epoch -> deterministic
+    assert not np.array_equal(a["rgb"], b["rgb"])
+    np.testing.assert_array_equal(a["rgb"], c["rgb"])
+
+
+def test_pipeline_advances_loader_epoch(dataset):
+    loader = make_loader(dataset, split="train")
+    loader.enable_augmentation(AugmentationConfig(random_seed=11))
+    pipe = InputPipeline(loader, batch_size=4, shuffle=False,
+                         use_native="never")
+    first = [np.asarray(b["rgb"]) for b in pipe]
+    assert loader.epoch == 0
+    second = [np.asarray(b["rgb"]) for b in pipe]
+    assert loader.epoch == 1
+    assert not all(np.array_equal(x, y) for x, y in zip(first, second))
+
+
+def test_multiprocess_slicing_matches_single_process(dataset):
+    """Global batches assembled from per-process local slices must equal the
+    single-process batches (pipeline.py process_index/process_count path).
+
+    Runs the real producer with _to_device stubbed to identity — a single
+    JAX process cannot execute make_array_from_process_local_data for a
+    fake process_count, but the index math and local assembly are exact.
+    """
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+
+    def run(process_count, process_index):
+        loader = make_loader(dataset)
+        pipe = InputPipeline(loader, batch_size=4, shuffle=True, seed=7,
+                             sharding=sharding, use_native="never",
+                             process_index=process_index,
+                             process_count=process_count)
+        pipe._to_device = lambda b: b  # keep host arrays
+        return list(pipe)
+
+    oracle = run(1, 0)
+    for process_count in (2, 4):
+        shards = [run(process_count, p) for p in range(process_count)]
+        assert all(len(s) == len(oracle) for s in shards)
+        for b, want in enumerate(oracle):
+            got = {
+                k: np.concatenate([shards[p][b][k]
+                                   for p in range(process_count)])
+                for k in want
+            }
+            for k in want:
+                np.testing.assert_array_equal(got[k], np.asarray(want[k]))
