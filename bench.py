@@ -1,38 +1,42 @@
 #!/usr/bin/env python
-"""Headline benchmark: BaselineUNet training throughput, one TPU chip.
+"""Headline benchmark + detail benches, one TPU chip.
 
-Mirrors the reference's published setting (README.md:762-765: baseline
-U-Net, init_features 64, batch 16, 240x320 — claimed 25-30 samples/s on
-M4 Pro, 80-100 on A100; the one real measured run was ~0.7 img/s).
-`vs_baseline` is measured against the reference's best *claimed* M4 Pro
-number (27.5 img/s mid-range); the BASELINE.json north star (>=4x
-LibTorch-CPU on one v5e chip) corresponds to vs_baseline >= 4.
+Headline (the ONE stdout JSON line, driver contract): BaselineUNet
+training throughput at the reference's published setting
+(README.md:762-765: init_features 64, batch 16, 240x320 — claimed 25-30
+samples/s on M4 Pro, 80-100 on A100; the one real measured run was
+~0.7 img/s). `vs_baseline` is against the claimed M4 Pro midpoint
+(27.5); the BASELINE.json north star (>=4x LibTorch-CPU on one v5e)
+corresponds to vs_baseline >= 4.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+Detail benches (stderr + BENCH_DETAIL.json, enabled by default; set
+CADEPTH_BENCH_FULL=0 for the headline only):
+  * geometry_aware f64 b4 device step (the flagship model)
+  * end-to-end baseline throughput: batches flow host->device through
+    InputPipeline over a synthetic fixture dataset (real PNG/JPEG
+    decode + augment + device_put in the loop, native loader when
+    available) — demonstrates the headline number isn't a pre-staged
+    batch artifact. NOTE: this container has 1 CPU core; real TPU-VM
+    hosts have ~100+ (PERF_NOTES.md "Host input pipeline").
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_IMAGES_PER_SEC = 27.5  # README.md:762-765, M4 Pro claim (batch 16, 240x320)
 
-BATCH = 16
 HEIGHT, WIDTH = 240, 320
 WARMUP_STEPS = 5
-MEASURE_STEPS = 50
 
 
-def main() -> None:
+def _build(architecture: str, batch: int, **model_kw):
     import jax
-
-    from cadepth_tpu.utils import enable_compilation_cache
-
-    enable_compilation_cache()
 
     from cadepth_tpu.config import config_from_dict
     from cadepth_tpu.training.schedule import build_lr_schedule
@@ -45,45 +49,127 @@ def main() -> None:
     from __graft_entry__ import _example_batch
 
     cfg = config_from_dict({
-        "model": {"architecture": "baseline_unet", "init_features": 64},
+        "model": {"architecture": architecture, **model_kw},
         "optimization": {"optimizer": "adamw", "lr_scheduler": "none",
                          "lr_warmup_epochs": 0},
-        "training": {"batch_size": BATCH, "use_amp": True},
+        "training": {"batch_size": batch, "use_amp": True},
         "data": {"compute_rays": True},
     })
     model, loss_fn = build_model_and_loss(cfg)
     tx = build_optimizer(cfg.optimization,
                          build_lr_schedule(cfg.optimization, 100, 100))
-
-    batch = {k: jax.device_put(v)
-             for k, v in _example_batch(BATCH, HEIGHT, WIDTH).items()}
-    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    host_batch = _example_batch(batch, HEIGHT, WIDTH)
+    batch_dev = {k: jax.device_put(v) for k, v in host_batch.items()}
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch_dev)
     train_step = make_train_step(cfg, model, loss_fn, tx, donate=True)
+    return cfg, state, train_step, batch_dev
 
-    def hard_sync(s):
-        # Force a device->host readback of an updated parameter: on this
-        # tunneled runtime, block_until_ready can return before the whole
-        # program retires, so a value transfer is the only reliable fence.
-        leaf = jax.tree_util.tree_leaves(s.params)[0]
-        np.asarray(leaf).ravel()[0]
 
+def hard_sync(state):
+    # Force a device->host readback of an updated parameter: on this
+    # tunneled runtime, block_until_ready can return before the whole
+    # program retires, so a value transfer is the only reliable fence.
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    np.asarray(leaf).ravel()[0]
+
+
+def bench_device_step(architecture: str, batch: int, steps: int, **model_kw):
+    cfg, state, train_step, batch_dev = _build(architecture, batch, **model_kw)
     for _ in range(WARMUP_STEPS):
-        state, logs = train_step(state, batch)
+        state, logs = train_step(state, batch_dev)
     hard_sync(state)
-
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        state, logs = train_step(state, batch)
+    for _ in range(steps):
+        state, logs = train_step(state, batch_dev)
     hard_sync(state)
     elapsed = time.perf_counter() - t0
+    return steps * batch / elapsed
 
-    images_per_sec = MEASURE_STEPS * BATCH / elapsed
+
+def bench_pipeline_fed(batch: int, steps: int):
+    """Baseline step fed by the real InputPipeline over a synthetic
+    fixture tree (host decode + augment + device_put in the loop)."""
+    import tempfile
+
+    from cadepth_tpu.data import generate_synthetic_dataset
+    from cadepth_tpu.data.pipeline import InputPipeline
+    from cadepth_tpu.data.sunrgbd import SunRGBDLoader
+
+    cfg, state, train_step, _ = _build("baseline_unet", batch,
+                                       init_features=64)
+    with tempfile.TemporaryDirectory() as tmp:
+        n_images = max((steps + WARMUP_STEPS) * batch // 4 + 1, 8)
+        manifest = generate_synthetic_dataset(
+            tmp, images_per_sensor=n_images, seed=0, structured=True,
+            sensor_specs={s: (WIDTH, HEIGHT, WIDTH, HEIGHT)
+                          for s in ("kv1", "kv2", "realsense", "xtion")})
+        loader = SunRGBDLoader(f"{tmp}/sunrgbd", manifest, split="train",
+                               target_height=HEIGHT, target_width=WIDTH,
+                               compute_rays=True)
+        pipe = InputPipeline(loader, batch, shuffle=True, seed=0,
+                             num_threads=int(os.environ.get(
+                                 "CADEPTH_BENCH_THREADS", "8")),
+                             prefetch_depth=2)
+        done = 0
+        t0 = None
+        for b in pipe:
+            state, logs = train_step(state, b)
+            done += 1
+            if done == WARMUP_STEPS:
+                hard_sync(state)
+                t0 = time.perf_counter()
+            if done >= WARMUP_STEPS + steps:
+                break
+        hard_sync(state)
+        measured = done - WARMUP_STEPS
+        if t0 is None or measured <= 0:
+            return 0.0
+        return measured * batch / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    from cadepth_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    headline = bench_device_step("baseline_unet", batch=16, steps=50,
+                                 init_features=64)
     print(json.dumps({
         "metric": "sunrgbd_baseline_unet_train_images_per_sec_per_chip",
-        "value": round(images_per_sec, 2),
+        "value": round(headline, 2),
         "unit": "images/sec",
-        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 2),
+        "vs_baseline": round(headline / BASELINE_IMAGES_PER_SEC, 2),
     }))
+    sys.stdout.flush()
+
+    if os.environ.get("CADEPTH_BENCH_FULL", "1") == "0":
+        return
+
+    detail = {"baseline_unet_device_step_img_per_sec": round(headline, 2)}
+    try:
+        geo = bench_device_step("geometry_aware", batch=4, steps=30,
+                                init_features=64)
+        detail["geometry_aware_device_step_img_per_sec"] = round(geo, 2)
+    except Exception as exc:  # noqa: BLE001 - detail benches must not kill the headline
+        detail["geometry_aware_error"] = repr(exc)
+    try:
+        fed = bench_pipeline_fed(batch=16, steps=20)
+        detail["baseline_unet_pipeline_fed_img_per_sec"] = round(fed, 2)
+        detail["pipeline_note"] = (
+            "host-decode-in-loop on a %s-core container; TPU-VM hosts have "
+            "~100+ cores" % (os.cpu_count() or 1))
+    except Exception as exc:  # noqa: BLE001
+        detail["pipeline_fed_error"] = repr(exc)
+
+    print(json.dumps(detail, indent=2), file=sys.stderr)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=2)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":

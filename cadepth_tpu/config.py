@@ -79,6 +79,10 @@ class ModelConfig:
     use_attention: bool = True
     variant: str = "full"
     remat: bool = False  # gradient checkpointing for big configs
+    # PCL warp backend: "auto" (gather-free two-pass GEMM warp under a
+    # rotation bound, exact gather fallback), "gather" (reference-parity
+    # grid_sample always), "two_pass" (GEMM warp always). PERF_NOTES.md.
+    pcl_warp: str = "auto"
 
 
 @dataclasses.dataclass
@@ -280,6 +284,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         use_attention=bool(m.get("use_attention", att_default)),
         variant=m.get("variant", "full"),
         remat=bool(m.get("remat", False)),
+        pcl_warp=m.get("pcl_warp", "auto"),
     )
 
     o = raw.get("optimization", {})

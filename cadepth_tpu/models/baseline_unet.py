@@ -24,7 +24,8 @@ class BaselineUNet(nn.Module):
     in_channels: int = 3
     init_features: int = 64
     max_depth: float = 10.0
-    remat: bool = False
+    # False | True/"full" | "highres" (see models/layers.py: maybe_remat)
+    remat: Any = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -34,16 +35,19 @@ class BaselineUNet(nn.Module):
         DC = maybe_remat(DoubleConv, (2,), self.remat)
         Enc = maybe_remat(EncoderBlock, (2,), self.remat)
         Dec = maybe_remat(DecoderBlock, (3,), self.remat)
+        # coarse levels: only rematted in "full" mode
+        EncLo = maybe_remat(EncoderBlock, (2,), self.remat, highres_block=False)
+        DecLo = maybe_remat(DecoderBlock, (3,), self.remat, highres_block=False)
 
         skip1 = DC(f, self.dtype, name="enc1")(x, train)
         skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, train)
-        skip3 = Enc(f * 4, self.dtype, name="enc3")(skip2, train)
-        skip4 = Enc(f * 8, self.dtype, name="enc4")(skip3, train)
+        skip3 = EncLo(f * 4, self.dtype, name="enc3")(skip2, train)
+        skip4 = EncLo(f * 8, self.dtype, name="enc4")(skip3, train)
 
-        x = Enc(f * 16, self.dtype, name="bottleneck")(skip4, train)
+        x = EncLo(f * 16, self.dtype, name="bottleneck")(skip4, train)
 
-        x = Dec(f * 8, self.dtype, name="dec4")(x, skip4, train)
-        x = Dec(f * 4, self.dtype, name="dec3")(x, skip3, train)
+        x = DecLo(f * 8, self.dtype, name="dec4")(x, skip4, train)
+        x = DecLo(f * 4, self.dtype, name="dec3")(x, skip3, train)
         x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, train)
         x = Dec(f, self.dtype, name="dec1")(x, skip1, train)
 

@@ -44,6 +44,7 @@ def create_model(
     use_attention: bool = True,
     variant: str = "full",
     remat: bool = False,
+    pcl_warp: str = "auto",
     dtype: Any = jnp.bfloat16,
 ) -> nn.Module:
     """Build a model by architecture string (train_config.yaml `model:` block).
@@ -76,17 +77,17 @@ def create_model(
             return LightweightGeometryNetwork(
                 in_channels=in_channels, init_features=min(init_features, 32),
                 camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-                dtype=dtype)
+                pcl_warp=pcl_warp, dtype=dtype)
         return GeometryAwareNetwork(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth,
             use_pcl=use_pcl, use_attention=use_attention, remat=remat,
-            dtype=dtype)
+            pcl_warp=pcl_warp, dtype=dtype)
     if architecture == "geometry_aware_lightweight":
         return LightweightGeometryNetwork(
             in_channels=in_channels, init_features=min(init_features, 32),
             camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-            dtype=dtype)
+            pcl_warp=pcl_warp, dtype=dtype)
     raise ValueError(
         f"Unknown architecture '{architecture}'; expected one of {ARCHITECTURES}")
 
@@ -112,15 +113,60 @@ def count_parameters(params) -> int:
 
 
 def estimate_memory_mb(params, batch_size: int, height: int, width: int,
-                       init_features: int = 64) -> float:
-    """Rough activation+param memory estimate in MB.
+                       init_features: int = 64, levels: int = 5,
+                       activation_bytes: int = 2,
+                       tensors_per_block: int = 4) -> float:
+    """Activation + parameter memory estimate in MB from real NHWC shapes.
 
-    Mirrors `GeometryAwareNetworkImpl::estimate_memory_mb`
-    (`geometry_aware_network.h:339-360`).
+    Same role as `GeometryAwareNetworkImpl::estimate_memory_mb`
+    (`geometry_aware_network.h:339-360`), but computed from the actual
+    pyramid: level l holds (H/2^l, W/2^l, f*2^l) activations in both the
+    encoder and decoder, with ~``tensors_per_block`` live tensors per
+    conv block (conv1/bn-relu/conv2/bn-relu), bf16 by default; params
+    fp32 + fp32 Adam moments (x3). For the *real* number use
+    :func:`compiled_memory_analysis` — XLA's own accounting.
     """
-    pixels = batch_size * height * width
-    enc = pixels * (init_features + init_features * 2 // 4 +
-                    init_features * 4 // 16 + init_features * 8 // 64 +
-                    init_features * 16 // 256)
-    total_bytes = (enc * 2 + count_parameters(params)) * 4
-    return total_bytes / (1024.0 * 1024.0)
+    act = 0.0
+    for lvl in range(levels + 1):  # encoder levels + bottleneck
+        h, w = height >> lvl, width >> lvl
+        c = init_features << lvl
+        act += batch_size * h * w * c
+    for lvl in range(levels):      # decoder mirrors the encoder
+        h, w = height >> lvl, width >> lvl
+        c = init_features << lvl
+        act += batch_size * h * w * c
+    act_bytes = act * tensors_per_block * activation_bytes
+    param_bytes = count_parameters(params) * 4 * 3  # params + 2 Adam moments
+    return (act_bytes + param_bytes) / (1024.0 * 1024.0)
+
+
+def compiled_memory_analysis(model, batch: Dict[str, jax.Array],
+                             architecture: str) -> Dict[str, float]:
+    """XLA's real memory accounting for a jitted forward (MB).
+
+    Compiles the forward at the batch's shapes and reads
+    ``compiled.memory_analysis()`` — the ground truth the estimate above
+    approximates.
+    """
+    import jax.numpy as jnp
+
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           *model_inputs(architecture, batch)[0]))
+    variables = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    args, kwargs = model_inputs(architecture, batch)
+    compiled = jax.jit(
+        lambda v, *a: model.apply(v, *a, **kwargs)).lower(
+            variables, *args).compile()
+    mem = compiled.memory_analysis()
+    if mem is None:
+        return {}
+    scale = 1.0 / (1024.0 * 1024.0)
+    return {
+        "argument_mb": mem.argument_size_in_bytes * scale,
+        "output_mb": mem.output_size_in_bytes * scale,
+        "temp_mb": mem.temp_size_in_bytes * scale,
+        "total_mb": (mem.argument_size_in_bytes + mem.output_size_in_bytes
+                     + mem.temp_size_in_bytes) * scale,
+    }

@@ -83,6 +83,7 @@ class GeometryDecoderBlock(nn.Module):
     use_pcl: bool = True
     use_attention: bool = True
     dtype: Any = jnp.bfloat16
+    pcl_warp: str = "auto"
 
     @nn.compact
     def __call__(self, x, skip, camera_params,
@@ -92,8 +93,8 @@ class GeometryDecoderBlock(nn.Module):
                              dtype=self.dtype, name="up")(x)
         if self.use_pcl:
             x = PerspectiveCorrectionLayer(
-                self.features, dtype=self.dtype, name="pcl")(
-                    x, camera_params, ray_directions, train)
+                self.features, warp_mode=self.pcl_warp, dtype=self.dtype,
+                name="pcl")(x, camera_params, ray_directions, train)
         x = pad_to_match(x, skip)
         x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
         x = RayEnhancedConv(self.features, self.dtype, name="conv")(
@@ -116,8 +117,11 @@ class GeometryAwareNetwork(nn.Module):
     max_depth: float = 10.0
     use_pcl: bool = True
     use_attention: bool = True
-    remat: bool = False
+    # False | True/"full" | "highres" (models/layers.py: maybe_remat)
+    remat: Any = False
     dtype: Any = jnp.bfloat16
+    # PCL warp backend: "auto" | "gather" | "two_pass" (models/pcl.py)
+    pcl_warp: str = "auto"
 
     @nn.compact
     def __call__(self, rgb, ray_directions, camera_intrinsics,
@@ -131,35 +135,39 @@ class GeometryAwareNetwork(nn.Module):
         RayConv = maybe_remat(RayEnhancedConv, (4,), self.remat)
         Enc = maybe_remat(GeometryEncoderBlock, (4,), self.remat)
         Dec = maybe_remat(GeometryDecoderBlock, (5,), self.remat)
+        EncLo = maybe_remat(GeometryEncoderBlock, (4,), self.remat,
+                            highres_block=False)
+        DecLo = maybe_remat(GeometryDecoderBlock, (5,), self.remat,
+                            highres_block=False)
 
         skip1 = RayConv(f, self.dtype, name="enc1")(x, cam, rays, train)
         skip2 = Enc(f * 2, self.use_attention, self.dtype,
                     name="enc2")(skip1, cam, None, train)
-        skip3 = Enc(f * 4, self.use_attention, self.dtype,
-                    name="enc3")(skip2, cam, None, train)
-        skip4 = Enc(f * 8, self.use_attention, self.dtype,
-                    name="enc4")(skip3, cam, None, train)
-        skip5 = Enc(f * 16, self.use_attention, self.dtype,
-                    name="enc5")(skip4, cam, None, train)
+        skip3 = EncLo(f * 4, self.use_attention, self.dtype,
+                      name="enc3")(skip2, cam, None, train)
+        skip4 = EncLo(f * 8, self.use_attention, self.dtype,
+                      name="enc4")(skip3, cam, None, train)
+        skip5 = EncLo(f * 16, self.use_attention, self.dtype,
+                      name="enc5")(skip4, cam, None, train)
 
-        x = Enc(f * 32, self.use_attention, self.dtype,
-                name="bottleneck")(skip5, cam, None, train)
+        x = EncLo(f * 32, self.use_attention, self.dtype,
+                  name="bottleneck")(skip5, cam, None, train)
 
         # Decoder rays at factors 16/8/4/2/1 (`geometry_aware_network.h:310-316`).
-        x = Dec(f * 16, self.use_pcl, self.use_attention,
-                self.dtype, name="dec5")(
+        x = DecLo(f * 16, self.use_pcl, self.use_attention,
+                  self.dtype, pcl_warp=self.pcl_warp, name="dec5")(
             x, skip5, cam, avg_pool2d(rays, 16), train)
-        x = Dec(f * 8, self.use_pcl, self.use_attention,
-                self.dtype, name="dec4")(
+        x = DecLo(f * 8, self.use_pcl, self.use_attention,
+                  self.dtype, pcl_warp=self.pcl_warp, name="dec4")(
             x, skip4, cam, avg_pool2d(rays, 8), train)
-        x = Dec(f * 4, self.use_pcl, self.use_attention,
-                self.dtype, name="dec3")(
+        x = DecLo(f * 4, self.use_pcl, self.use_attention,
+                  self.dtype, pcl_warp=self.pcl_warp, name="dec3")(
             x, skip3, cam, avg_pool2d(rays, 4), train)
         x = Dec(f * 2, self.use_pcl, self.use_attention,
-                self.dtype, name="dec2")(
+                self.dtype, pcl_warp=self.pcl_warp, name="dec2")(
             x, skip2, cam, avg_pool2d(rays, 2), train)
         x = Dec(f, self.use_pcl, self.use_attention,
-                self.dtype, name="dec1")(
+                self.dtype, pcl_warp=self.pcl_warp, name="dec1")(
             x, skip1, cam, rays, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
@@ -177,8 +185,9 @@ class LightweightGeometryNetwork(nn.Module):
     init_features: int = 32
     camera_dim: int = 4
     max_depth: float = 10.0
-    remat: bool = False
+    remat: Any = False
     dtype: Any = jnp.bfloat16
+    pcl_warp: str = "auto"
 
     @nn.compact
     def __call__(self, rgb, ray_directions, camera_intrinsics,
@@ -191,25 +200,29 @@ class LightweightGeometryNetwork(nn.Module):
         RayConv = maybe_remat(RayEnhancedConv, (4,), self.remat)
         Enc = maybe_remat(GeometryEncoderBlock, (4,), self.remat)
         Dec = maybe_remat(GeometryDecoderBlock, (5,), self.remat)
+        EncLo = maybe_remat(GeometryEncoderBlock, (4,), self.remat,
+                            highres_block=False)
+        DecLo = maybe_remat(GeometryDecoderBlock, (5,), self.remat,
+                            highres_block=False)
 
         skip1 = RayConv(f, self.dtype, name="enc1")(x, cam, rays, train)
         skip2 = Enc(f * 2, True, self.dtype, name="enc2")(
             skip1, cam, None, train)
-        skip3 = Enc(f * 4, True, self.dtype, name="enc3")(
+        skip3 = EncLo(f * 4, True, self.dtype, name="enc3")(
             skip2, cam, None, train)
-        skip4 = Enc(f * 8, True, self.dtype, name="enc4")(
+        skip4 = EncLo(f * 8, True, self.dtype, name="enc4")(
             skip3, cam, None, train)
 
-        x = Enc(f * 16, True, self.dtype, name="bottleneck")(
+        x = EncLo(f * 16, True, self.dtype, name="bottleneck")(
             skip4, cam, None, train)
 
-        x = Dec(f * 8, True, True, self.dtype, name="dec4")(
+        x = DecLo(f * 8, True, True, self.dtype, pcl_warp=self.pcl_warp, name="dec4")(
             x, skip4, cam, avg_pool2d(rays, 8), train)
-        x = Dec(f * 4, True, True, self.dtype, name="dec3")(
+        x = DecLo(f * 4, True, True, self.dtype, pcl_warp=self.pcl_warp, name="dec3")(
             x, skip3, cam, avg_pool2d(rays, 4), train)
-        x = Dec(f * 2, True, True, self.dtype, name="dec2")(
+        x = Dec(f * 2, True, True, self.dtype, pcl_warp=self.pcl_warp, name="dec2")(
             x, skip2, cam, avg_pool2d(rays, 2), train)
-        x = Dec(f, True, True, self.dtype, name="dec1")(
+        x = Dec(f, True, True, self.dtype, pcl_warp=self.pcl_warp, name="dec1")(
             x, skip1, cam, rays, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(

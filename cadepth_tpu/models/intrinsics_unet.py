@@ -84,7 +84,7 @@ class IntrinsicsConditionedUNet(nn.Module):
     init_features: int = 64
     camera_dim: int = 4
     max_depth: float = 10.0
-    remat: bool = False
+    remat: Any = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -96,16 +96,20 @@ class IntrinsicsConditionedUNet(nn.Module):
         DC = maybe_remat(FiLMDoubleConv, (3,), self.remat)
         Enc = maybe_remat(FiLMEncoderBlock, (3,), self.remat)
         Dec = maybe_remat(FiLMDecoderBlock, (4,), self.remat)
+        EncLo = maybe_remat(FiLMEncoderBlock, (3,), self.remat,
+                            highres_block=False)
+        DecLo = maybe_remat(FiLMDecoderBlock, (4,), self.remat,
+                            highres_block=False)
 
         skip1 = DC(f, self.dtype, name="enc1")(x, cam, train)
         skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, cam, train)
-        skip3 = Enc(f * 4, self.dtype, name="enc3")(skip2, cam, train)
-        skip4 = Enc(f * 8, self.dtype, name="enc4")(skip3, cam, train)
+        skip3 = EncLo(f * 4, self.dtype, name="enc3")(skip2, cam, train)
+        skip4 = EncLo(f * 8, self.dtype, name="enc4")(skip3, cam, train)
 
-        x = Enc(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
+        x = EncLo(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
 
-        x = Dec(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
-        x = Dec(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
+        x = DecLo(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
+        x = DecLo(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
         x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, cam, train)
         x = Dec(f, self.dtype, name="dec1")(x, skip1, cam, train)
 
@@ -121,7 +125,7 @@ class IntrinsicsAttentionUNet(nn.Module):
     init_features: int = 64
     camera_dim: int = 4
     max_depth: float = 10.0
-    remat: bool = False
+    remat: Any = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -133,17 +137,21 @@ class IntrinsicsAttentionUNet(nn.Module):
         DC = maybe_remat(FiLMDoubleConv, (3,), self.remat)
         Enc = maybe_remat(FiLMEncoderBlock, (3,), self.remat)
         Dec = maybe_remat(FiLMDecoderBlock, (4,), self.remat)
+        EncLo = maybe_remat(FiLMEncoderBlock, (3,), self.remat,
+                            highres_block=False)
+        DecLo = maybe_remat(FiLMDecoderBlock, (4,), self.remat,
+                            highres_block=False)
 
         skip1 = DC(f, self.dtype, name="enc1")(x, cam, train)
         skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, cam, train)
-        skip3 = Enc(f * 4, self.dtype, name="enc3")(skip2, cam, train)
-        skip4 = Enc(f * 8, self.dtype, name="enc4")(skip3, cam, train)
+        skip3 = EncLo(f * 4, self.dtype, name="enc3")(skip2, cam, train)
+        skip4 = EncLo(f * 8, self.dtype, name="enc4")(skip3, cam, train)
 
-        x = Enc(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
+        x = EncLo(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
 
-        x = Dec(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
+        x = DecLo(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
         x = CBAM(f * 8, dtype=self.dtype, name="att4")(x)
-        x = Dec(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
+        x = DecLo(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
         x = CBAM(f * 4, dtype=self.dtype, name="att3")(x)
         x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, cam, train)
         x = CBAM(f * 2, dtype=self.dtype, name="att2")(x)

@@ -47,15 +47,29 @@ class EncoderBlock(nn.Module):
         return DoubleConv(self.features, self.dtype, name="conv")(x, train)
 
 
-def maybe_remat(cls, static_argnums, enable: bool):
+def maybe_remat(cls, static_argnums, enable, highres_block: bool = True):
     """Wrap a block class with gradient checkpointing when enabled.
 
     Remat trades recompute FLOPs for activation memory — required to fit
     the production 480x640 / init_features-96 geometry config in a v5e
     chip's 16GB HBM (measured 16.3GB without, OOM by ~550MB).
+
+    ``enable`` accepts:
+      * False — no remat;
+      * True / "full" — remat every block;
+      * "highres" — remat only blocks flagged ``highres_block`` (the two
+        finest pyramid levels). In a U-Net each level costs ~equal
+        recompute FLOPs (spatial/4 x channels^2*4 per level) but the
+        finest levels hold the dominant share of activation bytes, so
+        this recovers most of the memory for a fraction of the
+        recompute tax (PERF_NOTES.md production-scale section).
     """
     if not enable:
         return cls
+    if enable == "highres" and not highres_block:
+        return cls
+    if enable not in (True, "full", "highres"):
+        raise ValueError(f"Unknown remat mode: {enable!r}")
     import flax.linen as nn_
 
     return nn_.remat(cls, static_argnums=static_argnums)

@@ -16,6 +16,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
 from cadepth_tpu.ops.grid_sample import affine_grid, grid_sample
 
 
@@ -48,6 +49,15 @@ class PerspectiveCorrectionLayer(nn.Module):
     # (pcl_layer.h:76-111; geometry_aware_network.h:144-145), so parity
     # default is False. forward3D behavior = gate_with_rays=True.
     gate_with_rays: bool = False
+    # Warp backend: "auto" uses the gather-free two-pass GEMM warp
+    # (ops/affine_warp.py) while the predicted |rotation| stays under
+    # rot_bound — exact for rot=0, sub-pixel sheared kernel otherwise —
+    # and falls back to the exact gather path beyond it (lax.cond, one
+    # branch executes). "gather" = reference-parity grid_sample always;
+    # "two_pass" = GEMM warp always. XLA TPU gathers are near scalar
+    # speed, so "auto" is the TPU default (see PERF_NOTES.md).
+    warp_mode: str = "auto"
+    rot_bound: float = 0.05
     dtype: Any = jnp.bfloat16
 
     def _transform(self, features, camera_intrinsics, train: bool):
@@ -68,10 +78,26 @@ class PerspectiveCorrectionLayer(nn.Module):
             name="fc_transform",
         )(h)
         theta = _build_affine_matrix(params)
-        grid = affine_grid(theta, features.shape[1], features.shape[2],
-                           align_corners=False)
-        return grid_sample(features, grid, padding_mode="zeros",
-                           align_corners=False)
+
+        def warp_gather(feats, th):
+            grid = affine_grid(th, feats.shape[1], feats.shape[2],
+                               align_corners=False)
+            return grid_sample(feats, grid, padding_mode="zeros",
+                               align_corners=False)
+
+        def warp_two_pass(feats, th):
+            return two_pass_affine_warp(feats, th, padding_mode="zeros",
+                                        align_corners=False)
+
+        if self.warp_mode == "gather":
+            return warp_gather(features, theta)
+        if self.warp_mode == "two_pass":
+            return warp_two_pass(features, theta)
+        if self.warp_mode != "auto":
+            raise ValueError(f"Unknown warp_mode: {self.warp_mode}")
+        in_bound = jnp.max(jnp.abs(params[:, 4])) < self.rot_bound
+        return jax.lax.cond(in_bound, warp_two_pass, warp_gather,
+                            features, theta)
 
     @nn.compact
     def __call__(self, features, camera_intrinsics,

@@ -1,0 +1,156 @@
+"""Gather-free affine warping as two batched GEMM resampling passes.
+
+TPU-native replacement for the gather-based ``grid_sample`` on the PCL
+hot path (`pcl_layer.h:97-110`: ``affine_grid`` + bilinear
+``grid_sample``). XLA TPU gathers run near scalar-unit speed and their
+backward is a scatter-add (measured in PERF_NOTES.md); this module
+reformulates the affine bilinear warp so the data never moves through a
+gather:
+
+  out[i, j] = sum_y sum_x tent(py(i,j) - y) * tent(px(i,j) - x) * img[y, x]
+
+with ``px = A j + B i + C`` and ``py = D j + E i + F`` affine in the
+output coordinates. Catmull-Smith decomposition (vertical pass, then
+horizontal pass):
+
+  V(x, i)   = sum_y tent(g(x,i) - y) * img[y, x]
+  out(i, j) = sum_x tent(h(j,i) - x) * V(x, i)
+
+with ``h(j,i) = A j + B i + C`` and
+``g(x,i) = (D/A) x + (E - D B/A) i + (F - D C/A)``. Both passes are
+einsums contracting against dense tent-weight matrices (2 nonzeros per
+output position) — MXU work, and the backward is transposed matmuls
+plus elementwise tent derivatives; no scatters anywhere.
+
+Exactness: for ``D = 0`` (zero rotation; scale/shear/translate are all
+free) the decomposition reproduces the direct bilinear warp exactly —
+``g`` loses its x-dependence and the composite kernel is the separable
+2D tent. For ``D != 0`` the first-pass kernel is sheared by ``|D/A|``
+(sub-pixel for small rotations): each contributing source row is
+sampled at the x-position of that *row* instead of the interpolated
+position, displacing the kernel by at most ``|D/A|`` pixels. Callers
+gate on a rotation bound and fall back to the exact gather path
+(:func:`cadepth_tpu.ops.grid_sample.grid_sample`) outside it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_pixel_coeffs(
+    theta: jax.Array, height: int, width: int, align_corners: bool = False
+) -> Tuple[jax.Array, ...]:
+    """Pixel-space coefficients (A..F) of a torch-convention affine grid.
+
+    ``theta`` is (B, 2, 3) acting on normalized output coords (x, y) in
+    [-1, 1] (torch ``affine_grid`` convention, see
+    :func:`cadepth_tpu.ops.grid_sample.affine_grid`); the source
+    position of output pixel (row i, col j) in *pixel* units is
+
+      px = A j + B i + C,   py = D j + E i + F
+
+    Returns six (B,) f32 arrays. Output size == input size (the PCL
+    warps feature maps onto themselves).
+    """
+    t = theta.astype(jnp.float32)
+    h, w = float(height), float(width)
+    if align_corners:
+        # gx(j) = 2j/(W-1) - 1; px = (nx + 1)/2 * (W-1)
+        a = t[:, 0, 0]
+        b = t[:, 0, 1] * (w - 1.0) / (h - 1.0)
+        c = (w - 1.0) / 2.0 * (-t[:, 0, 0] - t[:, 0, 1] + t[:, 0, 2] + 1.0)
+        d = t[:, 1, 0] * (h - 1.0) / (w - 1.0)
+        e = t[:, 1, 1]
+        f = (h - 1.0) / 2.0 * (-t[:, 1, 0] - t[:, 1, 1] + t[:, 1, 2] + 1.0)
+    else:
+        # gx(j) = (2j+1)/W - 1; px = ((nx + 1) W - 1)/2
+        a = t[:, 0, 0]
+        b = t[:, 0, 1] * w / h
+        c = (w / 2.0) * (t[:, 0, 0] * (1.0 / w - 1.0)
+                         + t[:, 0, 1] * (1.0 / h - 1.0)
+                         + t[:, 0, 2] + 1.0) - 0.5
+        d = t[:, 1, 0] * h / w
+        e = t[:, 1, 1]
+        f = (h / 2.0) * (t[:, 1, 0] * (1.0 / w - 1.0)
+                         + t[:, 1, 1] * (1.0 / h - 1.0)
+                         + t[:, 1, 2] + 1.0) - 0.5
+    return a, b, c, d, e, f
+
+
+def _tent(pos: jax.Array, size: int, padding_mode: str,
+          axis_dtype: Any) -> jax.Array:
+    """Tent (linear interpolation) weights of ``pos`` against 0..size-1.
+
+    pos: (..., ) positions in pixel units; returns (..., size) weights.
+    zeros padding: out-of-range taps contribute nothing (weights already
+    vanish outside [-1, size]); border: clamp the position first, which
+    reproduces torch's clip-then-interpolate edge behavior.
+    """
+    if padding_mode == "border":
+        pos = jnp.clip(pos, 0.0, size - 1.0)
+    elif padding_mode != "zeros":
+        raise ValueError(f"Unsupported padding_mode: {padding_mode}")
+    grid = jnp.arange(size, dtype=jnp.float32)
+    w = jnp.maximum(1.0 - jnp.abs(pos[..., None] - grid), 0.0)
+    return w.astype(axis_dtype)
+
+
+def two_pass_affine_warp(
+    img: jax.Array,
+    theta: jax.Array,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+    precision: Optional[Any] = None,
+) -> jax.Array:
+    """Warp ``img`` by affine ``theta`` with two gather-free GEMM passes.
+
+    Args:
+      img: (B, H, W, C) features.
+      theta: (B, 2, 3) affine matrices, torch ``affine_grid`` convention.
+      padding_mode: "zeros" or "border".
+      align_corners: torch flag (PCL uses False).
+      precision: matmul precision override; tests pass "highest" with
+        f32 inputs for bit-level comparisons against the gather path.
+
+    Returns:
+      (B, H, W, C), same dtype as ``img``.
+    """
+    bsz, h, w, _ = img.shape
+    out_dtype = img.dtype
+    # Tent weights in the compute dtype of the data: bf16 weights against
+    # bf16 features lose nothing material (weight rounding ~2^-9 relative,
+    # on par with bf16 data precision); f32 runs stay f32 end-to-end.
+    mat_dtype = out_dtype if out_dtype in (jnp.float32, jnp.float64) \
+        else jnp.bfloat16
+
+    a, b, c, d, e, f = affine_pixel_coeffs(theta, h, w, align_corners)
+    a_safe = jnp.where(jnp.abs(a) < 1e-3, jnp.where(a < 0, -1e-3, 1e-3), a)
+
+    # -- pass V: resample rows (contract source y) ------------------------
+    # g(x, i) = (D/A) x + (E - D B/A) i + (F - D C/A)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    iis = jnp.arange(h, dtype=jnp.float32)
+    doa = d / a_safe
+    g = (doa[:, None, None] * xs[None, :, None]
+         + (e - doa * b)[:, None, None] * iis[None, None, :]
+         + (f - doa * c)[:, None, None])                      # (B, W, Ho)
+    mv = _tent(g, h, padding_mode, mat_dtype)                 # (B, W, Ho, H)
+    # V[b, x, i, c] = sum_y img[b, y, x, c] * mv[b, x, i, y]
+    v = jnp.einsum("byxc,bxiy->bxic", img, mv,
+                   precision=precision, preferred_element_type=jnp.float32)
+
+    # -- pass H: resample columns (contract source x) ---------------------
+    # h(j, i) = A j + B i + C
+    js = jnp.arange(w, dtype=jnp.float32)
+    hpos = (a[:, None, None] * js[None, None, :]
+            + b[:, None, None] * iis[None, :, None]
+            + c[:, None, None])                               # (B, Ho, Wo)
+    mh = _tent(hpos, w, padding_mode, mat_dtype)              # (B, Ho, Wo, W)
+    # out[b, i, j, c] = sum_x V[b, x, i, c] * mh[b, i, j, x]
+    out = jnp.einsum("bxic,bijx->bijc", v.astype(mat_dtype), mh,
+                     precision=precision, preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)

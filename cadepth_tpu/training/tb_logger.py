@@ -172,6 +172,38 @@ class TensorBoardLogger:
         except Exception:
             self.add_text("hparams", str(clean))
 
+    def add_pr_curve(self, tag: str, labels: np.ndarray,
+                     predictions: np.ndarray, step: int) -> None:
+        """Precision-recall curve (`tensorboard_writer.py:206-212`,
+        reachable from `tensorboard_logger_v2.h`'s pr_curve command)."""
+        if self._writer is None:
+            return
+        labels = np.asarray(labels).reshape(-1)
+        predictions = np.asarray(predictions).reshape(-1)
+        if hasattr(self._writer, "add_pr_curve"):
+            import torch
+
+            self._writer.add_pr_curve(tag, torch.as_tensor(labels),
+                                      torch.as_tensor(predictions), step)
+        else:
+            self.add_text(f"pr_curve/{tag}",
+                          f"n={labels.size} pos={int(labels.sum())}", step)
+
+    def add_embedding(self, tag: str, mat: np.ndarray,
+                      metadata=None, step: int = 0) -> None:
+        """Projector embedding (`tensorboard_writer.py:214-220`)."""
+        if self._writer is None:
+            return
+        mat = np.asarray(mat)
+        if hasattr(self._writer, "add_embedding"):
+            import torch
+
+            self._writer.add_embedding(torch.as_tensor(mat),
+                                       metadata=metadata, tag=tag,
+                                       global_step=step)
+        else:
+            self.add_text(f"embedding/{tag}", f"shape={mat.shape}", step)
+
     def flush(self) -> None:
         if self._writer is not None:
             self._writer.flush()

@@ -66,6 +66,7 @@ def build_model_and_loss(cfg: Config, dtype=jnp.bfloat16):
         use_attention=cfg.model.use_attention,
         variant=cfg.model.variant,
         remat=cfg.model.remat,
+        pcl_warp=cfg.model.pcl_warp,
         dtype=dtype if cfg.training.use_amp else jnp.float32,
     )
     loss_fn = CombinedDepthLoss(

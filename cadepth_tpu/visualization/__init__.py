@@ -6,6 +6,11 @@ from cadepth_tpu.visualization.depth_viz import (
     create_depth_histogram,
     create_comparison_grid,
     save_depth_image,
+    add_label,
+    create_labeled_comparison,
+    create_histogram,
+    create_metrics_panel,
+    create_comprehensive_visualization,
 )
 
 __all__ = [
@@ -16,4 +21,9 @@ __all__ = [
     "create_depth_histogram",
     "create_comparison_grid",
     "save_depth_image",
+    "add_label",
+    "create_labeled_comparison",
+    "create_histogram",
+    "create_metrics_panel",
+    "create_comprehensive_visualization",
 ]

@@ -114,6 +114,112 @@ def create_depth_histogram(depth: np.ndarray, bins: int = 50,
     return img
 
 
+def add_label(img: np.ndarray, label: str) -> np.ndarray:
+    """Stamp a white-on-black outlined label (`depth_visualizer.h:324-331`)."""
+    import cv2
+
+    out = np.ascontiguousarray(img)
+    cv2.putText(out, label, (10, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.8,
+                (255, 255, 255), 2)
+    cv2.putText(out, label, (10, 30), cv2.FONT_HERSHEY_SIMPLEX, 0.8,
+                (0, 0, 0), 1)
+    return out
+
+
+def create_labeled_comparison(rgb: np.ndarray, gt: np.ndarray,
+                              pred: np.ndarray,
+                              min_depth: float = 0.1,
+                              max_depth: float = 10.0,
+                              colormap: str = "viridis") -> np.ndarray:
+    """Eval-side labeled 4-panel strip (`depth_visualizer.h:133-166`):
+    fixed-range colormaps, error map capped at 1 m, per-panel text labels."""
+    panels = [
+        add_label(_to_rgb_u8(rgb), "Input RGB"),
+        add_label(apply_colormap(gt, colormap, min_depth, max_depth),
+                  "Ground Truth"),
+        add_label(apply_colormap(pred, colormap, min_depth, max_depth),
+                  "Prediction"),
+        add_label(create_error_map(pred, gt, max_error=1.0), "Error Map"),
+    ]
+    h = min(p.shape[0] for p in panels)
+    return np.concatenate([p[:h] for p in panels], axis=1)
+
+
+def create_histogram(depth: np.ndarray, min_depth: float = 0.1,
+                     max_depth: float = 10.0,
+                     num_bins: int = 50) -> np.ndarray:
+    """Eval-side 512x300 depth histogram with axis line, title, and range
+    labels (`depth_visualizer.h:177-250`)."""
+    import cv2
+
+    width, height = 512, 300
+    img = np.full((height, width, 3), 255, np.uint8)
+    d = np.asarray(depth, np.float32).reshape(-1)
+    d = d[(d >= min_depth) & (d <= max_depth)]
+    if d.size:
+        counts, _ = np.histogram(d, bins=num_bins, range=(min_depth, max_depth))
+        peak = max(int(counts.max()), 1)
+        bar_w = width // num_bins
+        for i, c in enumerate(counts):
+            bar_h = int(c / peak * (height - 50))
+            pt1 = (i * bar_w, height - 30 - bar_h)
+            pt2 = ((i + 1) * bar_w - 1, height - 30)
+            cv2.rectangle(img, pt1, pt2, (180, 130, 70), -1)
+            cv2.rectangle(img, pt1, pt2, (0, 0, 0), 1)
+        cv2.line(img, (0, height - 30), (width, height - 30), (0, 0, 0), 2)
+        cv2.putText(img, "Depth Distribution", (10, 25),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 0, 0), 2)
+        cv2.putText(img, f"{min_depth:g}m", (5, height - 5),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.4, (0, 0, 0), 1)
+        cv2.putText(img, f"{max_depth:g}m", (width - 50, height - 5),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.4, (0, 0, 0), 1)
+    return img
+
+
+def create_metrics_panel(metrics: dict, width: int,
+                         height: int = 200) -> np.ndarray:
+    """Grey text panel listing the key metrics (`depth_visualizer.h:336-374`)."""
+    import cv2
+
+    panel = np.full((height, width, 3), 240, np.uint8)
+    y = 40
+    line_height = 25
+    cv2.putText(panel, "Metrics:", (20, y), cv2.FONT_HERSHEY_SIMPLEX, 0.7,
+                (0, 0, 0), 2)
+    y += line_height + 10
+    display = [("abs_rel", "AbsRel"), ("rmse", "RMSE"),
+               ("rmse_log", "RMSElog"), ("delta_1.25", "delta < 1.25")]
+    for key, label in display:
+        if key in metrics:
+            text = f"{label}: {metrics[key]:.4f}"
+            if "delta" in key:
+                text += f" ({metrics[key] * 100:.2f}%)"
+            cv2.putText(panel, text, (40, y), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                        (0, 0, 0), 1)
+            y += line_height
+    return panel
+
+
+def create_comprehensive_visualization(
+    rgb: np.ndarray, gt: np.ndarray, pred: np.ndarray, metrics: dict,
+    min_depth: float = 0.1, max_depth: float = 10.0,
+    colormap: str = "viridis",
+) -> np.ndarray:
+    """Full per-sample report image (`depth_visualizer.h:259-290`):
+    labeled comparison strip on top, [pred histogram | gt histogram]
+    resized to its width, and a metrics text panel at the bottom."""
+    import cv2
+
+    comparison = create_labeled_comparison(rgb, gt, pred, min_depth,
+                                           max_depth, colormap)
+    hists = np.concatenate([create_histogram(pred, min_depth, max_depth),
+                            create_histogram(gt, min_depth, max_depth)],
+                           axis=1)
+    hists = cv2.resize(hists, (comparison.shape[1], hists.shape[0]))
+    panel = create_metrics_panel(metrics, comparison.shape[1], 200)
+    return np.concatenate([comparison, hists, panel], axis=0)
+
+
 def create_comparison_grid(rgbs: Sequence[np.ndarray],
                            gts: Sequence[np.ndarray],
                            preds: Sequence[np.ndarray],

@@ -40,16 +40,39 @@ def load_run(run_dir: Path):
     return name, per_sample
 
 
+def scan_runs(root: Path):
+    """Find every evaluate.py output dir under ``root`` (the reference's
+    compare_models.sh:1-457 scans its results tree the same way)."""
+    found = sorted({p.parent for p in root.rglob("per_sample_metrics.csv")})
+    if not found:
+        raise FileNotFoundError(
+            f"no per_sample_metrics.csv found anywhere under {root}")
+    return found
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description="Compare evaluated models")
-    p.add_argument("runs", nargs="+", help="evaluate.py output directories")
+    p.add_argument("runs", nargs="*", help="evaluate.py output directories")
+    p.add_argument("--scan", default="",
+                   help="recursively discover evaluation runs under this "
+                        "directory instead of listing them")
     p.add_argument("--baseline", default="",
                    help="run name for ablation percentages")
     p.add_argument("--metric", default="abs_rel")
     p.add_argument("--alpha", type=float, default=0.05)
-    p.add_argument("--output", default="", help="write the report to a file")
+    p.add_argument("--output", default="", help="write the report to a file "
+                   "(or into <dir>/comparison_report.md if a directory)")
     p.add_argument("--latex", action="store_true")
     args = p.parse_args(argv)
+
+    if args.scan:
+        discovered = scan_runs(Path(args.scan))
+        print(f"Discovered {len(discovered)} run(s) under {args.scan}:")
+        for d in discovered:
+            print(f"  {d}")
+        args.runs = [str(d) for d in discovered] + list(args.runs)
+    if len(args.runs) < 1:
+        p.error("no runs given (pass directories or --scan <root>)")
 
     from cadepth_tpu.metrics import (
         ExperimentResult,
@@ -82,8 +105,12 @@ def main(argv=None) -> int:
     report = "\n".join(parts)
     print(report)
     if args.output:
-        Path(args.output).write_text(report)
-        print(f"\nReport written to {args.output}")
+        out = Path(args.output)
+        if out.is_dir() or not out.suffix:
+            out.mkdir(parents=True, exist_ok=True)
+            out = out / "comparison_report.md"
+        out.write_text(report)
+        print(f"\nReport written to {out}")
     return 0
 
 

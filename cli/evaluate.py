@@ -114,6 +114,13 @@ def main(argv=None) -> int:
     if not args.no_vis and args.num_vis > 0:
         import cv2
 
+        from cadepth_tpu.metrics.depth_metrics import (
+            compute_depth_metrics_per_sample,
+        )
+        from cadepth_tpu.visualization.depth_viz import (
+            create_comprehensive_visualization,
+        )
+
         vis_dir = out_dir / "visualizations"
         vis_dir.mkdir(exist_ok=True)
         # uniform sampling over the dataset (evaluate_main.cpp:156-209)
@@ -121,12 +128,28 @@ def main(argv=None) -> int:
         idx = np.linspace(0, len(loader) - 1, n).astype(int)
         batch = jax.device_put(loader.get_batch(idx))
         pred = np.asarray(evaluator.predict_fn(state, batch))
+        per_sample = jax.tree_util.tree_map(
+            np.asarray,
+            compute_depth_metrics_per_sample(
+                pred, np.asarray(batch["depth"]),
+                min_depth=cfg.validation.min_depth,
+                max_depth=cfg.validation.max_depth))
         for j in range(n):
-            panel = create_comparison(
-                np.asarray(batch["rgb"][j]), np.asarray(batch["depth"][j]),
-                pred[j], colormap=args.colormap)
+            rgb_j = np.asarray(batch["rgb"][j])
+            gt_j = np.asarray(batch["depth"][j])
+            panel = create_comparison(rgb_j, gt_j, pred[j],
+                                      colormap=args.colormap)
             cv2.imwrite(str(vis_dir / f"comparison_{j:03d}.png"),
                         cv2.cvtColor(panel, cv2.COLOR_RGB2BGR))
+            # per-sample report image (depth_visualizer.h:259-290 /
+            # evaluate_main.cpp:156-209)
+            full = create_comprehensive_visualization(
+                rgb_j, gt_j, pred[j],
+                {k: float(v[j]) for k, v in per_sample.items()},
+                min_depth=cfg.validation.min_depth,
+                max_depth=cfg.validation.max_depth, colormap=args.colormap)
+            cv2.imwrite(str(vis_dir / f"comprehensive_{j:03d}.png"),
+                        cv2.cvtColor(full, cv2.COLOR_RGB2BGR))
         print(f"Saved {n} visualizations to {vis_dir}")
 
     if args.save_predictions:

@@ -7,10 +7,15 @@
 # Measured on one v5e chip (2026-08-16): 40 epochs in ~12 min wall
 # (~1.5 s/epoch after compile) reaching abs_rel 0.075, rmse 0.384,
 # delta1 0.968, delta2 0.994, delta3 0.999.
+#
+# Usage: convergence_demo.sh [workdir] [arch]
+#   arch: baseline_unet (default) | geometry_aware | intrinsics_unet | ...
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
 WORKDIR="${1:-/tmp/cadepth_convergence_demo}"
+ARCH="${2:-baseline_unet}"
+EPOCHS="${EPOCHS:-40}"
 mkdir -p "$WORKDIR"
 
 python - "$WORKDIR" <<'EOF'
@@ -25,7 +30,7 @@ print("manifest:", m)
 EOF
 
 cat > "$WORKDIR/demo_config.yaml" <<EOF
-experiment: {name: "convergence_demo", seed: 7}
+experiment: {name: "convergence_demo_$ARCH", seed: 7}
 data:
   data_dir: "$WORKDIR/sunrgbd"
   manifest_path: "$WORKDIR/sunrgbd_manifest.json"
@@ -34,13 +39,13 @@ data:
   split_filtering: true
   compute_rays: true
   augmentation: {random_crop: false, horizontal_flip: true, color_jitter: true}
-model: {architecture: "baseline_unet", init_features: 16}
+model: {architecture: "$ARCH", init_features: 16}
 optimization:
   optimizer: "adamw"
   learning_rate: 5.0e-4
   lr_scheduler: "cosine"
   lr_warmup_epochs: 2
-training: {num_epochs: 40, batch_size: 16, num_workers: 4, log_interval: 5, num_vis_samples: 2}
+training: {num_epochs: $EPOCHS, batch_size: 16, num_workers: 4, log_interval: 5, num_vis_samples: 2}
 checkpointing: {checkpoint_dir: "$WORKDIR/ckpts", save_interval: 10}
 logging: {log_dir: "$WORKDIR/logs"}
 early_stopping: {enabled: false}
@@ -48,12 +53,17 @@ EOF
 
 python cli/train.py --config "$WORKDIR/demo_config.yaml"
 
-python - "$WORKDIR" <<'EOF'
+DEMO_NAME="convergence_demo_$ARCH" python - "$WORKDIR" <<'EOF'
 import csv, sys
-rows = list(csv.DictReader(open(f"{sys.argv[1]}/logs/convergence_demo/metrics.csv")))
+import os
+name = os.environ.get("DEMO_NAME", "convergence_demo_baseline_unet")
+rows = list(csv.DictReader(open(f"{sys.argv[1]}/logs/{name}/metrics.csv")))
+val = [r for r in rows if float(r["abs_rel"]) > 0]
+best = min(val, key=lambda r: float(r["abs_rel"]))
 last = rows[-1]
 abs_rel, rmse, a1 = float(last["abs_rel"]), float(last["rmse"]), float(last["a1"])
 print(f"\nFinal: abs_rel={abs_rel:.4f} rmse={rmse:.4f} delta1={a1:.4f}")
+print(f"Best:  abs_rel={float(best['abs_rel']):.4f} @ epoch {int(float(best['epoch']))+1}")
 ok = abs_rel < 0.15 and rmse < 0.50 and a1 > 0.85
 print("QUALITY TARGETS (reference 'excellent' thresholds):",
       "PASSED" if ok else "FAILED")

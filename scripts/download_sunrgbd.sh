@@ -34,9 +34,39 @@ case "$MODE" in
     echo "Done. Now run: python cli/validate_sunrgbd.py $TARGET"
     ;;
   mirror)
-    echo "The reorganized GitHub mirror changes over time; see the dataset"
-    echo "page at https://rgbd.cs.princeton.edu/ for current mirrors."
-    exit 1
+    # Reorganized GitHub mirror (reference scripts/download_sunrgbd.sh:87-133):
+    # clone the SUN_RGBD mirror repo and run its own fetch/extract script,
+    # then move the organized tree into the target directory.
+    MIRROR_REPO="${MIRROR_REPO:-https://github.com/chrischoy/SUN_RGBD.git}"
+    if ! command -v git >/dev/null; then
+      echo "ERROR: git is required for mirror mode" >&2
+      exit 1
+    fi
+    WORK="$TARGET/.mirror"
+    mkdir -p "$WORK"
+    if [ -d "$WORK/SUN_RGBD/.git" ]; then
+      echo "Mirror repo already cloned; pulling latest ..."
+      git -C "$WORK/SUN_RGBD" pull --ff-only
+    else
+      echo "Cloning $MIRROR_REPO ..."
+      git clone --depth 1 "$MIRROR_REPO" "$WORK/SUN_RGBD"
+    fi
+    if [ ! -f "$WORK/SUN_RGBD/download_and_extract.sh" ]; then
+      echo "ERROR: mirror repo has no download_and_extract.sh — its layout" >&2
+      echo "changed; download officially instead: $0 official $TARGET" >&2
+      exit 1
+    fi
+    chmod +x "$WORK/SUN_RGBD/download_and_extract.sh"
+    echo "Running the mirror's download_and_extract.sh (large download) ..."
+    (cd "$WORK/SUN_RGBD" && ./download_and_extract.sh)
+    echo "Moving organized data into $TARGET ..."
+    if [ -d "$WORK/SUN_RGBD/SUNRGBD" ]; then
+      cp -r "$WORK/SUN_RGBD/SUNRGBD/." "$TARGET/"
+    else
+      echo "ERROR: expected $WORK/SUN_RGBD/SUNRGBD after extraction" >&2
+      exit 1
+    fi
+    echo "Done. Now run: python cli/validate_sunrgbd.py $TARGET"
     ;;
   skeleton)
     echo "Creating a manual skeleton (drop image dirs under each sensor):"

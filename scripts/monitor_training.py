@@ -55,7 +55,7 @@ def read_metrics(csv_path: Path):
     return rows
 
 
-def dashboard(log_dir: Path, interval: float):
+def dashboard(log_dir: Path, interval: float, log_lines: int = 15):
     while True:
         rows = read_metrics(log_dir / "metrics.csv")
         os.system("clear" if os.name != "nt" else "cls")
@@ -83,15 +83,25 @@ def dashboard(log_dir: Path, interval: float):
                 per_epoch = (rows[-1]["time_elapsed"] - rows[0]["time_elapsed"]) \
                     / max(len(rows) - 1, 1)
                 print(f"~{per_epoch:.0f}s/epoch")
+        # recent-log pane (reference dashboard shows the last 20 log lines,
+        # monitor_training.py:151-170)
+        log_path = log_dir / "training.log"
+        if log_lines and log_path.exists():
+            print(f"\n{COLORS['bold']}recent logs:{COLORS['end']}")
+            with open(log_path) as f:
+                for line in f.readlines()[-log_lines:]:
+                    print(colorize(line.rstrip()))
         print("\n(Ctrl-C to exit)")
         time.sleep(interval)
 
 
-def follow(log_path: Path):
+def follow(log_path: Path, lines: int = 30, keep_following: bool = True):
     with open(log_path) as f:
         # print existing tail
-        for line in f.readlines()[-30:]:
+        for line in f.readlines()[-lines:]:
             print(colorize(line.rstrip()))
+        if not keep_following:
+            return
         while True:
             line = f.readline()
             if line:
@@ -107,6 +117,10 @@ def main() -> int:
     p.add_argument("--dashboard", action="store_true",
                    help="metrics dashboard instead of log tail")
     p.add_argument("--interval", type=float, default=5.0)
+    p.add_argument("--lines", type=int, default=30,
+                   help="initial lines to print (tail mode) / log pane size")
+    p.add_argument("--no-follow", action="store_true",
+                   help="print the tail once and exit")
     args = p.parse_args()
 
     target = Path(args.target) if args.target else None
@@ -120,9 +134,10 @@ def main() -> int:
     try:
         if args.dashboard or target.is_dir():
             dashboard(target if target.is_dir() else target.parent,
-                      args.interval)
+                      args.interval, log_lines=min(args.lines, 20))
         else:
-            follow(target)
+            follow(target, lines=args.lines,
+                   keep_following=not args.no_follow)
     except KeyboardInterrupt:
         pass
     return 0

@@ -110,6 +110,38 @@ def test_pcl_identity_at_init(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-4)
 
 
+def test_pcl_warp_modes_agree(rng):
+    """auto / two_pass / gather produce matching outputs with a trained-ish
+    (non-identity but rotation-free) head state; auto's guard must pick the
+    fast branch at small rotation and the exact branch beyond the bound."""
+    x = jnp.asarray(rng.normal(size=(B, 16, 16, 8)).astype(np.float32))
+    k4 = jnp.asarray(rng.uniform(0.5, 1.5, size=(B, 4)).astype(np.float32))
+    gather = PerspectiveCorrectionLayer(feature_channels=8,
+                                        warp_mode="gather", dtype=jnp.float32)
+    variables = gather.init(jax.random.PRNGKey(0), x, k4)
+    # perturb the head bias into the rotation-free subspace:
+    # params = [sx, sy, tx, ty, rot, shear]
+    bias = jnp.asarray([1.08, 0.94, 0.12, -0.06, 0.0, 0.15], jnp.float32)
+    variables = jax.tree_util.tree_map(lambda v: v, variables)
+    variables["params"]["fc_transform"]["bias"] = bias
+    want = gather.apply(variables, x, k4)
+    for mode in ("auto", "two_pass"):
+        pcl = PerspectiveCorrectionLayer(feature_channels=8, warp_mode=mode,
+                                         dtype=jnp.float32)
+        got = pcl.apply(variables, x, k4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-3, err_msg=mode)
+    # beyond the rotation bound, auto must equal the exact gather path
+    bias_rot = bias.at[4].set(0.3)
+    variables["params"]["fc_transform"]["bias"] = bias_rot
+    want_rot = gather.apply(variables, x, k4)
+    auto = PerspectiveCorrectionLayer(feature_channels=8, warp_mode="auto",
+                                      dtype=jnp.float32)
+    got_rot = auto.apply(variables, x, k4)
+    np.testing.assert_allclose(np.asarray(got_rot), np.asarray(want_rot),
+                               atol=1e-6)
+
+
 def test_pcl_ray_gating(rng):
     x = jnp.ones((1, 8, 8, 4), jnp.float32)
     k4 = jnp.ones((1, 4))

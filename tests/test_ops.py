@@ -1,6 +1,8 @@
 """Resize / pooling / grid-sample parity against torch CPU as oracle."""
 
 import numpy as np
+import pytest
+import jax
 import jax.numpy as jnp
 import torch
 import torch.nn.functional as F
@@ -96,3 +98,92 @@ def test_grid_sample_differentiable():
 
     grads = jax.grad(f)(grid)
     assert np.all(np.isfinite(np.asarray(grads)))
+
+
+# -- two-pass gather-free affine warp (ops/affine_warp.py) -------------------
+
+def _pcl_theta(b, sx=1.0, sy=1.0, tx=0.0, ty=0.0, rot=0.0, shear=0.0):
+    """Affine theta with the PCL head's layout (pcl_layer.h:152-179)."""
+    cos_r, sin_r = np.cos(rot), np.sin(rot)
+    th = np.zeros((b, 2, 3), np.float32)
+    th[:, 0, 0] = sx * cos_r
+    th[:, 0, 1] = -sin_r + shear
+    th[:, 0, 2] = tx
+    th[:, 1, 0] = sin_r
+    th[:, 1, 1] = sy * cos_r
+    th[:, 1, 2] = ty
+    return jnp.asarray(th)
+
+
+def _direct_warp(img, theta, pad="zeros"):
+    from cadepth_tpu.ops.grid_sample import affine_grid, grid_sample
+
+    g = affine_grid(theta, img.shape[1], img.shape[2], align_corners=False)
+    return grid_sample(img, g, padding_mode=pad, align_corners=False)
+
+
+@pytest.mark.parametrize("pad", ["zeros", "border"])
+def test_two_pass_exact_on_rotation_free_subspace(rng, pad):
+    """For rot=0 (scale/shear/translate free) the two-pass GEMM warp equals
+    direct bilinear grid_sample (the Catmull-Smith shear decomposition is
+    exact when the vertical position is independent of the output column)."""
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+
+    img = jnp.asarray(rng.normal(size=(2, 24, 32, 5)).astype(np.float32))
+    th = _pcl_theta(2, sx=1.12, sy=0.91, tx=0.23, ty=-0.17, shear=0.25)
+    want = _direct_warp(img, th, pad)
+    got = two_pass_affine_warp(img, th, padding_mode=pad,
+                               precision="highest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_two_pass_identity_is_identity(rng):
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+
+    img = jnp.asarray(rng.normal(size=(1, 16, 20, 3)).astype(np.float32))
+    out = two_pass_affine_warp(img, _pcl_theta(1), precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_two_pass_small_rotation_close(rng):
+    """Under rotation the first-pass kernel is sheared by |tan rot| pixels;
+    for a 1-degree rotation the deviation stays small even on noise."""
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+
+    img = jnp.asarray(rng.normal(size=(2, 24, 32, 4)).astype(np.float32))
+    th = _pcl_theta(2, sx=1.02, sy=0.98, tx=0.05, rot=np.deg2rad(1.0))
+    want = _direct_warp(img, th)
+    got = two_pass_affine_warp(img, th, precision="highest")
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    assert err.max() < 0.06, err.max()
+    assert err.mean() < 0.004, err.mean()
+
+
+def test_two_pass_gradients_match_gather_on_exact_subspace(rng):
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+
+    img = jnp.asarray(rng.normal(size=(2, 16, 20, 3)).astype(np.float32))
+    th = _pcl_theta(2, sx=1.07, sy=0.93, tx=0.1, ty=-0.05, shear=0.12)
+    cot = jnp.asarray(rng.normal(size=(2, 16, 20, 3)).astype(np.float32))
+
+    g_direct = jax.grad(
+        lambda x: jnp.sum(_direct_warp(x, th) * cot))(img)
+    g_two = jax.grad(
+        lambda x: jnp.sum(two_pass_affine_warp(
+            x, th, precision="highest") * cot))(img)
+    np.testing.assert_allclose(np.asarray(g_two), np.asarray(g_direct),
+                               atol=5e-5)
+
+
+def test_two_pass_bf16_data(rng):
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+
+    img32 = rng.normal(size=(2, 16, 24, 8)).astype(np.float32)
+    img = jnp.asarray(img32).astype(jnp.bfloat16)
+    th = _pcl_theta(2, sx=1.05, sy=0.97, tx=0.08, shear=0.1)
+    got = two_pass_affine_warp(img, th)
+    assert got.dtype == jnp.bfloat16
+    want = _direct_warp(jnp.asarray(img32), th)
+    # bf16 data + bf16 tent weights: ~2^-8 relative agreement
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=0.03)

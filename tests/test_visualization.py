@@ -106,3 +106,55 @@ def test_file_fallback_writer(tmp_path, rng):
     w.close()
     assert (tmp_path / "fb" / "scalars.csv").read_text().count("\n") >= 2
     assert list((tmp_path / "fb" / "images").glob("*.png"))
+
+
+def test_labeled_comparison_dimensions(rng):
+    from cadepth_tpu.visualization import create_labeled_comparison
+
+    rgb = rng.uniform(0, 1, size=(48, 64, 3)).astype(np.float32)
+    gt = rng.uniform(0.5, 9.5, size=(48, 64, 1)).astype(np.float32)
+    pred = rng.uniform(0.5, 9.5, size=(48, 64, 1)).astype(np.float32)
+    strip = create_labeled_comparison(rgb, gt, pred)
+    assert strip.shape == (48, 64 * 4, 3)
+    assert strip.dtype == np.uint8
+
+
+def test_histogram_reference_dimensions(rng):
+    from cadepth_tpu.visualization import create_histogram
+
+    depth = rng.uniform(0.5, 9.5, size=(32, 32)).astype(np.float32)
+    h = create_histogram(depth, 0.1, 10.0)
+    # eval-side histogram is a fixed 512x300 canvas (depth_visualizer.h:218-221)
+    assert h.shape == (300, 512, 3)
+    # bars drawn (not a blank canvas)
+    assert (h != 255).any()
+    empty = create_histogram(np.zeros((8, 8), np.float32), 0.1, 10.0)
+    assert (empty == 255).all()
+
+
+def test_comprehensive_visualization_composition(rng):
+    from cadepth_tpu.visualization import create_comprehensive_visualization
+
+    rgb = rng.uniform(0, 1, size=(48, 64, 3)).astype(np.float32)
+    gt = rng.uniform(0.5, 9.5, size=(48, 64, 1)).astype(np.float32)
+    pred = rng.uniform(0.5, 9.5, size=(48, 64, 1)).astype(np.float32)
+    metrics = {"abs_rel": 0.12, "rmse": 0.5, "rmse_log": 0.2,
+               "delta_1.25": 0.91}
+    out = create_comprehensive_visualization(rgb, gt, pred, metrics)
+    # comparison (48) + resized histogram row (300) + metrics panel (200)
+    assert out.shape == (48 + 300 + 200, 64 * 4, 3)
+    # metrics panel region is the grey 240-canvas with black text
+    panel = out[-200:]
+    assert (panel == 240).mean() > 0.5
+    assert (panel < 100).any()
+
+
+def test_tb_pr_curve_and_embedding(tmp_path, rng):
+    logger = TensorBoardLogger(str(tmp_path / "tb3"))
+    labels = (rng.uniform(size=64) > 0.5).astype(np.int64)
+    preds = rng.uniform(size=64).astype(np.float32)
+    logger.add_pr_curve("val/pr", labels, preds, 0)
+    logger.add_embedding("features", rng.normal(size=(16, 8)), step=0)
+    logger.flush()
+    logger.close()
+    assert any((tmp_path / "tb3").rglob("*")), "nothing written"
