@@ -283,7 +283,9 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         use_pcl=bool(m.get("use_pcl", True)),
         use_attention=bool(m.get("use_attention", att_default)),
         variant=m.get("variant", "full"),
-        remat=bool(m.get("remat", False)),
+        # bool or the string policy "highres"/"full" (models/layers.py)
+        remat=(m["remat"] if isinstance(m.get("remat"), str)
+               else bool(m.get("remat", False))),
         pcl_warp=m.get("pcl_warp", "auto"),
     )
 

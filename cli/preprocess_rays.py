@@ -29,11 +29,18 @@ def parse_args(argv=None):
     p.add_argument("--native-resolution", action="store_true",
                    help="Use each image's native RGB resolution instead of "
                         "--height/--width")
+    p.add_argument("--platform", default="",
+                   help="Force a jax platform (e.g. 'cpu'); empty = default")
     return p.parse_args(argv)
 
 
 def main(argv=None) -> int:
     args = parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
     import jax.numpy as jnp

@@ -77,7 +77,7 @@ def test_validate_cli(dataset, tmp_path):
 def test_preprocess_rays_cli(dataset):
     root, _ = dataset
     r = run_cli("preprocess_rays.py", "--data_dir", f"{root}/sunrgbd",
-                "--native-resolution")
+                "--native-resolution", "--platform", "cpu")
     assert r.returncode == 0, r.stderr
     assert "Wrote 8 rays.bin files" in r.stdout
 

@@ -124,3 +124,25 @@ def test_use_attention_per_arch_defaults():
     assert cfg_i.model.use_attention is False
     cfg_g = config_from_dict({"model": {"architecture": "geometry_aware"}})
     assert cfg_g.model.use_attention is True
+
+
+def test_model_pcl_warp_and_remat_knobs():
+    from cadepth_tpu.config import config_from_dict
+
+    cfg = config_from_dict({"model": {"architecture": "geometry_aware",
+                                      "pcl_warp": "two_pass",
+                                      "remat": "highres"}})
+    assert cfg.model.pcl_warp == "two_pass"
+    assert cfg.model.remat == "highres"
+    # defaults
+    cfg2 = config_from_dict({})
+    assert cfg2.model.pcl_warp == "auto"
+    assert cfg2.model.remat is False
+
+
+def test_distributed_false_disables_data_parallel():
+    """ADVICE r1: 'hardware: distributed: false' must be honored."""
+    from cadepth_tpu.config import config_from_dict
+
+    cfg = config_from_dict({"hardware": {"distributed": False}})
+    assert cfg.hardware.data_parallel is False

@@ -144,9 +144,13 @@ def test_trainer_end_to_end(dataset, tmp_path):
 
 
 def test_trainer_geometry_aware_arch(dataset, tmp_path):
+    # two_pass avoids compiling BOTH warp branches of the default "auto"
+    # lax.cond in this CPU test (auto's branch agreement is covered by
+    # test_pcl_warp_modes_agree at the layer level)
     cfg = tiny_config(dataset, tmp_path,
                       model={"architecture": "geometry_aware",
-                             "init_features": 4})
+                             "init_features": 4,
+                             "pcl_warp": "two_pass"})
     trainer = Trainer(cfg)
     loss = trainer.train_epoch(0)
     trainer.close()
