@@ -1,3 +1,4 @@
+from cadepth_tpu.parallel.distributed import initialize_distributed
 from cadepth_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
@@ -7,6 +8,7 @@ from cadepth_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
     "batch_sharding",
     "replicate_sharding",

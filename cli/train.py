@@ -41,6 +41,10 @@ def parse_args(argv=None):
                    help="Enable jax NaN debugging (slow)")
     p.add_argument("--platform", default="",
                    help="Force a jax platform (e.g. 'cpu'); empty = default")
+    p.add_argument("--multihost", action="store_true",
+                   help="Initialize the multi-process JAX runtime "
+                        "(jax.distributed.initialize) — run the same "
+                        "command on every host of the pod/cluster")
     return p.parse_args(argv)
 
 
@@ -51,6 +55,12 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.multihost:
+        # must precede any other JAX usage in this process
+        from cadepth_tpu.parallel import initialize_distributed
+
+        initialize_distributed()
 
     from cadepth_tpu.config import load_config
     from cadepth_tpu.training.trainer import Trainer

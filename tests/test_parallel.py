@@ -85,3 +85,15 @@ def test_dp_matches_single_device():
         # cross-device reduction order perturbs fp32 grad sums at ~1e-6
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_initialize_distributed_single_process_fallback():
+    """Without a coordinator/pod environment, initialization degrades
+    gracefully to single-process (returns False, no exception)."""
+    from cadepth_tpu.parallel import initialize_distributed
+
+    assert initialize_distributed() in (False, True)  # no raise
+    # single CPU test env: jax still works afterwards
+    import jax
+
+    assert len(jax.devices()) >= 1
