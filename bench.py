@@ -155,6 +155,12 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - detail benches must not kill the headline
         detail["geometry_aware_error"] = repr(exc)
     try:
+        geo16 = bench_device_step("geometry_aware", batch=16, steps=30,
+                                  init_features=64, pcl_warp="two_pass")
+        detail["geometry_aware_b16_two_pass_img_per_sec"] = round(geo16, 2)
+    except Exception as exc:  # noqa: BLE001
+        detail["geometry_aware_b16_error"] = repr(exc)
+    try:
         fed = bench_pipeline_fed(batch=16, steps=20)
         detail["baseline_unet_pipeline_fed_img_per_sec"] = round(fed, 2)
         detail["pipeline_note"] = (

@@ -19,7 +19,16 @@ def main() -> int:
     p.add_argument("logdir", nargs="?", default="./logs")
     p.add_argument("--port", type=int, default=6006)
     p.add_argument("--no-browser", action="store_true")
+    p.add_argument("--bind-all", action="store_true",
+                   help="Serve on all interfaces (remote access)")
     args = p.parse_args()
+
+    try:
+        import tensorboard  # noqa: F401
+    except ImportError:
+        print("TensorBoard is not installed: pip install tensorboard",
+              file=sys.stderr)
+        return 1
 
     logdir = Path(args.logdir)
     if not logdir.exists():
@@ -30,10 +39,11 @@ def main() -> int:
     print(f"Found {len(event_files)} event file(s) under {logdir}")
 
     url = f"http://localhost:{args.port}"
-    proc = subprocess.Popen(
-        [sys.executable, "-m", "tensorboard.main",
-         "--logdir", str(logdir), "--port", str(args.port)],
-    )
+    cmd = [sys.executable, "-m", "tensorboard.main",
+           "--logdir", str(logdir), "--port", str(args.port)]
+    if args.bind_all:
+        cmd.append("--bind_all")
+    proc = subprocess.Popen(cmd)
     print(f"TensorBoard starting on {url} (pid {proc.pid})")
     if not args.no_browser:
         time.sleep(3)
