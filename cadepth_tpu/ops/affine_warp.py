@@ -31,10 +31,21 @@ sampled at the x-position of that *row* instead of the interpolated
 position, displacing the kernel by at most ``|D/A|`` pixels. Callers
 gate on a rotation bound and fall back to the exact gather path
 (:func:`cadepth_tpu.ops.grid_sample.grid_sample`) outside it.
+
+Layout engineering (round 2): a TPU ``dot_general`` wants its batch
+dimensions leading, so naive einsum forms made XLA materialize full
+activation transposes around every pass — ~5.7 GB/step of pure copies
+in the b16 geometry model. The implementation therefore (a) transposes
+explicitly ONCE per pass into batch-leading form (the tent matrices,
+being fusion-generated, are free to build in any layout), and (b)
+carries a custom VJP whose backward einsums are likewise all
+batch-leading — 4 activation-sized copies per warp (2 fwd + 2 bwd)
+instead of the ~10-16 autodiff produced.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Optional, Tuple
 
 import jax
@@ -99,6 +110,45 @@ def _tent(pos: jax.Array, size: int, padding_mode: str,
     return w.astype(axis_dtype)
 
 
+def _mat_dtype(img_dtype) -> Any:
+    # Tent weights in the compute dtype of the data: bf16 weights against
+    # bf16 features lose nothing material (weight rounding ~2^-9 relative,
+    # on par with bf16 data precision); f32 runs stay f32 end-to-end.
+    return img_dtype if img_dtype in (jnp.float32, jnp.float64) \
+        else jnp.bfloat16
+
+
+def _build_mv(theta, height, width, padding_mode, align_corners, dtype):
+    """Pass-V tent matrix, batch-leading layout (B, x:W, y:H, i:Ho)."""
+    a, b, c, d, e, f = affine_pixel_coeffs(theta, height, width,
+                                           align_corners)
+    a_safe = jnp.where(jnp.abs(a) < 1e-3, jnp.where(a < 0, -1e-3, 1e-3), a)
+    doa = d / a_safe
+    xs = jnp.arange(width, dtype=jnp.float32)
+    iis = jnp.arange(height, dtype=jnp.float32)
+    # g(x, i) = (D/A) x + (E - D B/A) i + (F - D C/A)
+    g = (doa[:, None, None] * xs[None, :, None]
+         + (e - doa * b)[:, None, None] * iis[None, None, :]
+         + (f - doa * c)[:, None, None])                  # (B, W, Ho)
+    mv = _tent(g, height, padding_mode, dtype)            # (B, W, Ho, H)
+    return mv.swapaxes(2, 3)                              # (B, W, H, Ho)
+
+
+def _build_mh(theta, height, width, padding_mode, align_corners, dtype):
+    """Pass-H tent matrix, batch-leading layout (B, i:Ho, x:W, j:Wo)."""
+    a, b, c, _, _, _ = affine_pixel_coeffs(theta, height, width,
+                                           align_corners)
+    js = jnp.arange(width, dtype=jnp.float32)
+    iis = jnp.arange(height, dtype=jnp.float32)
+    # h(j, i) = A j + B i + C
+    hpos = (a[:, None, None] * js[None, None, :]
+            + b[:, None, None] * iis[None, :, None]
+            + c[:, None, None])                           # (B, Ho, Wo)
+    mh = _tent(hpos, width, padding_mode, dtype)          # (B, Ho, Wo, W)
+    return mh.swapaxes(2, 3)                              # (B, Ho, W, Wo)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def two_pass_affine_warp(
     img: jax.Array,
     theta: jax.Array,
@@ -119,38 +169,63 @@ def two_pass_affine_warp(
     Returns:
       (B, H, W, C), same dtype as ``img``.
     """
-    bsz, h, w, _ = img.shape
+    out, _ = _warp_fwd(img, theta, padding_mode, align_corners, precision)
+    return out
+
+
+def _warp_fwd(img, theta, padding_mode, align_corners, precision):
+    _, h, w, _ = img.shape
     out_dtype = img.dtype
-    # Tent weights in the compute dtype of the data: bf16 weights against
-    # bf16 features lose nothing material (weight rounding ~2^-9 relative,
-    # on par with bf16 data precision); f32 runs stay f32 end-to-end.
-    mat_dtype = out_dtype if out_dtype in (jnp.float32, jnp.float64) \
-        else jnp.bfloat16
+    dt = _mat_dtype(out_dtype)
 
-    a, b, c, d, e, f = affine_pixel_coeffs(theta, h, w, align_corners)
-    a_safe = jnp.where(jnp.abs(a) < 1e-3, jnp.where(a < 0, -1e-3, 1e-3), a)
+    img_x = img.swapaxes(1, 2)                            # (B, x, y, c)
+    mv = _build_mv(theta, h, w, padding_mode, align_corners, dt)
+    # V[b, x, i, c] — batch dims (b, x) leading in both operands
+    v = jnp.einsum("bxyc,bxyi->bxic", img_x, mv,
+                   precision=precision,
+                   preferred_element_type=jnp.float32).astype(dt)
+    v_i = v.swapaxes(1, 2)                                # (B, i, x, c)
+    mh = _build_mh(theta, h, w, padding_mode, align_corners, dt)
+    # out[b, i, j, c] — batch dims (b, i) leading in both operands
+    out = jnp.einsum("bixc,bixj->bijc", v_i, mh,
+                     precision=precision,
+                     preferred_element_type=jnp.float32)
+    return out.astype(out_dtype), (img_x, v_i, theta)
 
-    # -- pass V: resample rows (contract source y) ------------------------
-    # g(x, i) = (D/A) x + (E - D B/A) i + (F - D C/A)
-    xs = jnp.arange(w, dtype=jnp.float32)
-    iis = jnp.arange(h, dtype=jnp.float32)
-    doa = d / a_safe
-    g = (doa[:, None, None] * xs[None, :, None]
-         + (e - doa * b)[:, None, None] * iis[None, None, :]
-         + (f - doa * c)[:, None, None])                      # (B, W, Ho)
-    mv = _tent(g, h, padding_mode, mat_dtype)                 # (B, W, Ho, H)
-    # V[b, x, i, c] = sum_y img[b, y, x, c] * mv[b, x, i, y]
-    v = jnp.einsum("byxc,bxiy->bxic", img, mv,
-                   precision=precision, preferred_element_type=jnp.float32)
 
-    # -- pass H: resample columns (contract source x) ---------------------
-    # h(j, i) = A j + B i + C
-    js = jnp.arange(w, dtype=jnp.float32)
-    hpos = (a[:, None, None] * js[None, None, :]
-            + b[:, None, None] * iis[None, :, None]
-            + c[:, None, None])                               # (B, Ho, Wo)
-    mh = _tent(hpos, w, padding_mode, mat_dtype)              # (B, Ho, Wo, W)
-    # out[b, i, j, c] = sum_x V[b, x, i, c] * mh[b, i, j, x]
-    out = jnp.einsum("bxic,bijx->bijc", v.astype(mat_dtype), mh,
-                     precision=precision, preferred_element_type=jnp.float32)
-    return out.astype(out_dtype)
+def _warp_bwd(padding_mode, align_corners, precision, residuals, grad):
+    img_x, v_i, theta = residuals
+    bsz, w, h, _ = img_x.shape  # img_x is (B, x:W, y:H, c)
+    out_dtype = img_x.dtype
+    dt = _mat_dtype(out_dtype)
+    g = grad.astype(dt)
+
+    # Tent matrices are cheap elementwise fusions — rebuild instead of
+    # saving 100s of MB of residuals; their theta-gradient comes from
+    # jax.vjp over the builders (elementwise, fuses cleanly).
+    mv_fn = lambda th: _build_mv(th, h, w, padding_mode, align_corners, dt)
+    mh_fn = lambda th: _build_mh(th, h, w, padding_mode, align_corners, dt)
+    mv, mv_vjp = jax.vjp(mv_fn, theta)
+    mh, mh_vjp = jax.vjp(mh_fn, theta)
+
+    # All einsums below have their batch dims (b,i) or (b,x) leading.
+    d_v_i = jnp.einsum("bijc,bixj->bixc", g, mh,
+                       precision=precision,
+                       preferred_element_type=jnp.float32).astype(dt)
+    d_mh = jnp.einsum("bixc,bijc->bixj", v_i.astype(dt), g,
+                      precision=precision,
+                      preferred_element_type=jnp.float32).astype(dt)
+    d_v = d_v_i.swapaxes(1, 2)                            # (B, x, i, c)
+    d_img_x = jnp.einsum("bxic,bxyi->bxyc", d_v, mv,
+                         precision=precision,
+                         preferred_element_type=jnp.float32)
+    d_mv = jnp.einsum("bxyc,bxic->bxyi", img_x.astype(dt), d_v,
+                      precision=precision,
+                      preferred_element_type=jnp.float32).astype(dt)
+
+    d_img = d_img_x.swapaxes(1, 2).astype(out_dtype)      # (B, y, x, c)
+    d_theta = (mv_vjp(d_mv)[0] + mh_vjp(d_mh)[0]).astype(theta.dtype)
+    return d_img, d_theta
+
+
+two_pass_affine_warp.defvjp(_warp_fwd, _warp_bwd)
