@@ -160,3 +160,55 @@ def test_evaluator_end_to_end(tmp_path):
     assert "abs_rel" in summary_path.read_text()
     report = ModelEvaluator.report(result, "baseline_unet")
     assert "FPS" in report and "abs_rel" in report
+
+
+def test_predictor_aot_serving(tmp_path):
+    """AOT Predictor: compiled once, pads partial batches, matches the
+    plain predict path, reports a latency distribution."""
+    import numpy as np
+
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.inference import Predictor
+    from cadepth_tpu.training.schedule import build_lr_schedule
+    from cadepth_tpu.training.train_state import (
+        build_model_and_loss,
+        build_optimizer,
+        create_train_state,
+        make_predict_fn,
+    )
+
+    cfg = config_from_dict({
+        "data": {"input_height": 32, "input_width": 32},
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+    })
+    model, _ = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization,
+                         build_lr_schedule(cfg.optimization, 1, 1))
+    rng = np.random.default_rng(0)
+    sample = {
+        "rgb": rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32),
+        "rays": np.zeros((4, 32, 32, 3), np.float32),
+        "intrinsics": np.tile(np.eye(3, dtype=np.float32), (4, 1, 1)),
+        "k4": np.ones((4, 4), np.float32),
+    }
+    import jax
+
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                               jax.device_put(sample))
+    predictor = Predictor(cfg, state, batch_size=4)
+
+    rgb = rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32)
+    out = predictor.predict(rgb)
+    assert out.shape == (4, 32, 32, 1)
+    want = np.asarray(make_predict_fn(cfg, model)(
+        state, predictor._make_batch(rgb, None)))
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+    # partial batch: padded to the compiled size, padding rows dropped
+    out2 = predictor.predict(rgb[:2])
+    assert out2.shape == (2, 32, 32, 1)
+    np.testing.assert_allclose(out2, out[:2], atol=1e-5)
+
+    stats = predictor.benchmark(iterations=5, warmup=1)
+    assert stats["p99_ms"] >= stats["p50_ms"] > 0
+    assert stats["images_per_sec"] > 0
