@@ -175,6 +175,10 @@ class HardwareConfig:
     num_devices: int = 0       # 0 = all available
     data_parallel: bool = True
     mesh_axis: str = "data"
+    # >1 shards image HEIGHT over this many devices (2-D data x space
+    # mesh; XLA inserts conv halo exchanges). For resolutions that
+    # outgrow one chip's HBM.
+    spatial_parallel: int = 1
 
 
 @dataclasses.dataclass
@@ -383,6 +387,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         data_parallel=bool(h.get("data_parallel",
                                  h.get("distributed", True))),
         mesh_axis=h.get("mesh_axis", "data"),
+        spatial_parallel=int(h.get("spatial_parallel", 1)),
     )
     return cfg
 

@@ -123,17 +123,26 @@ class InputPipeline:
             ).astype(np.float32),
         }
 
+    def _sharding_for(self, key: str):
+        """`sharding` may be one Sharding for every key or a per-key dict
+        (e.g. parallel.mesh.batch_shardings for a 2-D data×space mesh)."""
+        if isinstance(self.sharding, dict):
+            return self.sharding.get(key) or next(iter(self.sharding.values()))
+        return self.sharding
+
     def _to_device(self, batch: Dict[str, np.ndarray]) -> Dict[str, jax.Array]:
         """device_put a host batch; multi-process assembles the global array
         from this process's local shard (pipeline contract: every process
         calls this with the same global batch's local slice)."""
         if self.process_count > 1:
             return {
-                k: jax.make_array_from_process_local_data(self.sharding, v)
+                k: jax.make_array_from_process_local_data(
+                    self._sharding_for(k), v)
                 for k, v in batch.items()
             }
         if self.sharding is not None:
-            return jax.device_put(batch, self.sharding)
+            return {k: jax.device_put(v, self._sharding_for(k))
+                    for k, v in batch.items()}
         return jax.device_put(batch)
 
     def _native_batch(self, batch_indices) -> Dict[str, np.ndarray]:

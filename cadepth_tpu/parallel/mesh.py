@@ -31,9 +31,47 @@ def make_mesh(num_devices: int = 0, axis_name: str = "data",
     return Mesh(np.array(devs), (axis_name,))
 
 
+def make_mesh_2d(num_devices: int = 0, spatial: int = 1,
+                 axis_names: Sequence[str] = ("data", "space"),
+                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """2-D (data × space) mesh: batch sharded on axis 0, image height on
+    axis 1. XLA's SPMD partitioner inserts the convolution halo
+    exchanges for the spatial axis automatically — this is how single
+    images scale past one chip's HBM when resolution grows (SURVEY
+    §5.7: the reference's scaling axis is spatial, not sequence).
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    if num_devices and num_devices > 0:
+        devs = devs[:num_devices]
+    if spatial <= 1:
+        return Mesh(np.array(devs), (axis_names[0],))
+    if len(devs) % spatial != 0:
+        raise ValueError(
+            f"{len(devs)} devices not divisible by spatial={spatial}")
+    grid = np.array(devs).reshape(len(devs) // spatial, spatial)
+    return Mesh(grid, tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim across the mesh."""
     return NamedSharding(mesh, P(axis_name))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) sharding for a 2-D mesh: batch over 'data', height
+    over 'space' (falls back to batch-only on a 1-D mesh)."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "space"))
+    return NamedSharding(mesh, P("data"))
+
+
+def batch_shardings(mesh: Mesh) -> Dict[str, NamedSharding]:
+    """Per-key shardings for a data batch dict (image tensors get the
+    spatial axis when present; per-sample vectors are batch-sharded)."""
+    img = image_sharding(mesh)
+    vec = batch_sharding(mesh)
+    return {"rgb": img, "depth": img, "rays": img,
+            "intrinsics": vec, "k4": vec, "extrinsics": vec}
 
 
 def replicate_sharding(mesh: Mesh) -> NamedSharding:
@@ -43,8 +81,10 @@ def replicate_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh,
                 axis_name: str = "data") -> Dict[str, jax.Array]:
-    sharding = batch_sharding(mesh, axis_name)
-    return jax.device_put(batch, sharding)
+    table = batch_shardings(mesh)
+    default = batch_sharding(mesh, axis_name)
+    return {k: jax.device_put(v, table.get(k, default))
+            for k, v in batch.items()}
 
 
 def replicate_state(state, mesh: Mesh):

@@ -28,7 +28,7 @@ from cadepth_tpu.data.pipeline import InputPipeline
 from cadepth_tpu.data.sunrgbd import AugmentationConfig, SunRGBDLoader
 from cadepth_tpu.metrics.depth_metrics import MetricsAccumulator
 from cadepth_tpu.models.factory import count_parameters
-from cadepth_tpu.parallel.mesh import make_mesh, batch_sharding, replicate_state
+from cadepth_tpu.parallel.mesh import (make_mesh, make_mesh_2d, batch_sharding, batch_shardings, replicate_state)
 from cadepth_tpu.training.checkpoint import CheckpointManager
 from cadepth_tpu.training.schedule import build_lr_schedule
 from cadepth_tpu.training.tb_logger import TensorBoardLogger
@@ -96,13 +96,25 @@ class Trainer:
                 raise ValueError(
                     f"batch_size {cfg.training.batch_size} is not divisible by "
                     f"hardware.num_devices {n}")
-            # auto mode: largest device count that divides the global batch
-            while cfg.training.batch_size % n != 0:
-                n -= 1
-            if n > 1:
-                self.mesh = make_mesh(n, cfg.hardware.mesh_axis)
-                self.data_sharding = batch_sharding(
-                    self.mesh, cfg.hardware.mesh_axis)
+            spatial = max(cfg.hardware.spatial_parallel, 1)
+            if spatial > 1:
+                # 2-D data x space mesh: batch over data, image height
+                # over space (conv halos inserted by the partitioner)
+                n -= n % spatial
+                while n >= spatial and \
+                        cfg.training.batch_size % (n // spatial) != 0:
+                    n -= spatial
+                if n >= spatial and cfg.data.input_height % spatial == 0:
+                    self.mesh = make_mesh_2d(n, spatial)
+                    self.data_sharding = batch_shardings(self.mesh)
+            else:
+                # auto mode: largest device count that divides the global batch
+                while cfg.training.batch_size % n != 0:
+                    n -= 1
+                if n > 1:
+                    self.mesh = make_mesh(n, cfg.hardware.mesh_axis)
+                    self.data_sharding = batch_sharding(
+                        self.mesh, cfg.hardware.mesh_axis)
 
         # -- pipelines
         debug_limits = getattr(cfg, "_debug_limits", None) or {}

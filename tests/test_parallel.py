@@ -97,3 +97,55 @@ def test_initialize_distributed_single_process_fallback():
     import jax
 
     assert len(jax.devices()) >= 1
+
+
+def test_spatial_sharding_matches_single_device(dataset_batch_factory=None):
+    """2-D data x space mesh: XLA partitions the convs spatially (halo
+    exchanges inserted automatically); the step must match the
+    unsharded result."""
+    import jax
+    import jax.numpy as jnp
+
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.parallel import (batch_shardings, make_mesh_2d,
+                                      replicate_sharding)
+    from cadepth_tpu.training.schedule import build_lr_schedule
+    from cadepth_tpu.training.train_state import (
+        build_model_and_loss,
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+    from __graft_entry__ import _example_batch
+
+    cfg = config_from_dict({
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+        "optimization": {"optimizer": "adamw", "lr_scheduler": "none",
+                         "lr_warmup_epochs": 0},
+        "training": {"batch_size": 2, "use_amp": True},
+        "data": {"compute_rays": True},
+    })
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization,
+                         build_lr_schedule(cfg.optimization, 10, 10))
+    batch = {k: jnp.asarray(v) for k, v in _example_batch(2, 64, 64).items()}
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, model, loss_fn, tx, donate=False)
+
+    mesh = make_mesh_2d(8, spatial=4)
+    assert mesh.devices.shape == (2, 4)
+    table = batch_shardings(mesh)
+    batch_s = {k: jax.device_put(v, table[k]) for k, v in batch.items()}
+    state_s = jax.device_put(state, replicate_sharding(mesh))
+
+    new_s, logs_s = step(state_s, batch_s)
+    new_r, logs_r = step(state, batch)
+    assert abs(float(logs_s["total_loss"]) - float(logs_r["total_loss"])) < 1e-4
+    leaves_s = jax.tree_util.tree_leaves(new_s.params)
+    leaves_r = jax.tree_util.tree_leaves(new_r.params)
+    import numpy as np
+
+    for ls, lr in zip(leaves_s, leaves_r):
+        np.testing.assert_allclose(np.asarray(ls, np.float32),
+                                   np.asarray(lr, np.float32),
+                                   atol=5e-3)

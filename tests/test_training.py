@@ -215,3 +215,20 @@ def test_trainer_resume_from_latest(dataset, tmp_path):
     assert t2.start_epoch == 2
     assert int(t2.state.step) > 0
     t2.close()
+
+
+def test_trainer_spatial_parallel_mesh(dataset, tmp_path):
+    """hardware.spatial_parallel builds a 2-D data x space mesh and
+    trains one epoch with image-height sharding."""
+    cfg = tiny_config(dataset, tmp_path,
+                      hardware={"spatial_parallel": 2})
+    trainer = Trainer(cfg)
+    try:
+        assert trainer.mesh is not None
+        assert trainer.mesh.axis_names == ("data", "space")
+        assert trainer.mesh.devices.shape == (4, 2)
+        assert isinstance(trainer.data_sharding, dict)
+        loss = trainer.train_epoch(0)
+        assert np.isfinite(loss)
+    finally:
+        trainer.close()
