@@ -88,12 +88,14 @@ def bench_device_step(architecture: str, batch: int, steps: int, **model_kw):
     return steps * batch / elapsed
 
 
-def bench_pipeline_fed(batch: int, steps: int):
+def bench_pipeline_fed(batch: int, steps: int, packed: bool = False):
     """Baseline step fed by the real InputPipeline over a synthetic
-    fixture tree (host decode + augment + device_put in the loop)."""
+    fixture tree — host decode + augment + device_put in the loop, or
+    (``packed=True``) the decode-once memmap cache read in the loop."""
     import tempfile
 
     from cadepth_tpu.data import generate_synthetic_dataset
+    from cadepth_tpu.data.packed import PackedSunRGBDLoader, pack_dataset
     from cadepth_tpu.data.pipeline import InputPipeline
     from cadepth_tpu.data.sunrgbd import SunRGBDLoader
 
@@ -105,9 +107,15 @@ def bench_pipeline_fed(batch: int, steps: int):
             tmp, images_per_sensor=n_images, seed=0, structured=True,
             sensor_specs={s: (WIDTH, HEIGHT, WIDTH, HEIGHT)
                           for s in ("kv1", "kv2", "realsense", "xtion")})
-        loader = SunRGBDLoader(f"{tmp}/sunrgbd", manifest, split="train",
-                               target_height=HEIGHT, target_width=WIDTH,
-                               compute_rays=True)
+        if packed:
+            pack_dataset(f"{tmp}/sunrgbd", manifest, f"{tmp}/packed",
+                         target_height=HEIGHT, target_width=WIDTH,
+                         num_threads=8)
+            loader = PackedSunRGBDLoader(f"{tmp}/packed", split="train")
+        else:
+            loader = SunRGBDLoader(f"{tmp}/sunrgbd", manifest, split="train",
+                                   target_height=HEIGHT, target_width=WIDTH,
+                                   compute_rays=True)
         pipe = InputPipeline(loader, batch, shuffle=True, seed=0,
                              num_threads=int(os.environ.get(
                                  "CADEPTH_BENCH_THREADS", "8")),
@@ -168,6 +176,11 @@ def main() -> None:
             "~100+ cores" % (os.cpu_count() or 1))
     except Exception as exc:  # noqa: BLE001
         detail["pipeline_fed_error"] = repr(exc)
+    try:
+        fed_packed = bench_pipeline_fed(batch=16, steps=20, packed=True)
+        detail["baseline_unet_packed_fed_img_per_sec"] = round(fed_packed, 2)
+    except Exception as exc:  # noqa: BLE001
+        detail["packed_fed_error"] = repr(exc)
 
     print(json.dumps(detail, indent=2), file=sys.stderr)
     try:

@@ -65,6 +65,9 @@ class DataConfig:
     split_filtering: bool = False  # reference-faithful default (SURVEY §2.3 #1)
     compute_rays: bool = True      # TPU-native: derive rays, don't store them
     use_native_loader: str = "auto"  # "auto" | "always" | "never" (C++ decode)
+    packed_dir: str = ""  # decode-once cache dir (cli/pack_dataset.py); when
+    #                       set, loaders read memmapped samples instead of
+    #                       decoding data_dir images each epoch
     augmentation: AugmentationYaml = dataclasses.field(default_factory=AugmentationYaml)
 
 
@@ -256,6 +259,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         split_filtering=bool(d.get("split_filtering", False)),
         compute_rays=bool(d.get("compute_rays", True)),
         use_native_loader=str(d.get("use_native_loader", "auto")),
+        packed_dir=str(d.get("packed_dir", "")),
         augmentation=AugmentationYaml(
             random_crop=bool(aug.get("random_crop", True)),
             crop_scale_min=float(aug.get("crop_scale_min", 0.7)),

@@ -7,8 +7,11 @@ from cadepth_tpu.data.manifest import (
 from cadepth_tpu.data.sunrgbd import AugmentationConfig, SunRGBDLoader
 from cadepth_tpu.data.synthetic import generate_synthetic_dataset
 from cadepth_tpu.data.pipeline import InputPipeline
+from cadepth_tpu.data.packed import PackedSunRGBDLoader, pack_dataset
 
 __all__ = [
+    "PackedSunRGBDLoader",
+    "pack_dataset",
     "ValidationResult",
     "SunRGBDValidator",
     "save_manifest",

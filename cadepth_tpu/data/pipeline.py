@@ -85,7 +85,8 @@ class InputPipeline:
         if use_native in ("auto", "always"):
             from cadepth_tpu.data import native as _native_mod
 
-            ok = _native_mod.available() and loader.compute_rays
+            ok = (_native_mod.available() and loader.compute_rays
+                  and getattr(loader, "supports_native", True))
             if use_native == "always" and not ok:
                 raise RuntimeError(
                     "use_native='always' but the native loader is unavailable "

@@ -16,7 +16,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+from cadepth_tpu.ops.affine_warp import (
+    separable_affine_warp,
+    two_pass_affine_warp,
+)
 from cadepth_tpu.ops.grid_sample import affine_grid, grid_sample
 
 
@@ -54,8 +57,11 @@ class PerspectiveCorrectionLayer(nn.Module):
     # rot_bound — exact for rot=0, sub-pixel sheared kernel otherwise —
     # and falls back to the exact gather path beyond it (lax.cond, one
     # branch executes). "gather" = reference-parity grid_sample always;
-    # "two_pass" = GEMM warp always. XLA TPU gathers are near scalar
-    # speed, so "auto" is the TPU default (see PERF_NOTES.md).
+    # "two_pass" = GEMM warp always; "separable" = shared-matrix GEMM
+    # warp always (exact for the axis-aligned scale+translate subspace,
+    # silently drops predicted rotation AND shear — fastest, see
+    # PERF_NOTES.md). XLA TPU gathers are near scalar speed, so "auto"
+    # is the TPU default.
     warp_mode: str = "auto"
     rot_bound: float = 0.05
     dtype: Any = jnp.bfloat16
@@ -89,10 +95,16 @@ class PerspectiveCorrectionLayer(nn.Module):
             return two_pass_affine_warp(feats, th, padding_mode="zeros",
                                         align_corners=False)
 
+        def warp_separable(feats, th):
+            return separable_affine_warp(feats, th, padding_mode="zeros",
+                                         align_corners=False)
+
         if self.warp_mode == "gather":
             return warp_gather(features, theta)
         if self.warp_mode == "two_pass":
             return warp_two_pass(features, theta)
+        if self.warp_mode == "separable":
+            return warp_separable(features, theta)
         if self.warp_mode != "auto":
             raise ValueError(f"Unknown warp_mode: {self.warp_mode}")
         in_bound = jnp.max(jnp.abs(params[:, 4])) < self.rot_bound

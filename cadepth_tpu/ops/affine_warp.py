@@ -229,3 +229,52 @@ def _warp_bwd(padding_mode, align_corners, precision, residuals, grad):
 
 
 two_pass_affine_warp.defvjp(_warp_fwd, _warp_bwd)
+
+
+def separable_affine_warp(
+    img: jax.Array,
+    theta: jax.Array,
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+    precision: Optional[Any] = None,
+) -> jax.Array:
+    """Axis-aligned affine warp (scale + translate) as two shared-matrix GEMMs.
+
+    The general :func:`two_pass_affine_warp` builds per-row tent matrices
+    — (B, W, H, Ho) and (B, Ho, W, Wo) — whose construction and backward
+    materialization dominate the warp's HBM traffic (PERF_NOTES.md:
+    ~6 GB/step at b16). When the off-diagonal affine terms vanish
+    (rotation = shear = 0 ⇒ ``px = A j + C`` and ``py = E i + F``), the
+    sampling position along each axis is independent of the other axis,
+    so each pass contracts against ONE (size_out, size_in) tent matrix
+    per sample: ~W× (resp. H×) less matrix bandwidth, and each pass is a
+    single large MXU-friendly GEMM per sample instead of W (resp. Ho)
+    skinny ones.
+
+    Exact (same tent algebra as the direct bilinear warp) iff
+    ``theta[:, 0, 1] == 0`` and ``theta[:, 1, 0] == 0``; those terms are
+    silently ignored otherwise, displacing samples by up to
+    ``|d|·(W-1)`` / ``|b|·(H-1)`` px — callers gate on that bound
+    (see `PerspectiveCorrectionLayer.warp_mode`).
+
+    Plain autodiff suffices here: the tent-matrix residuals are tiny
+    ((B, H, H) + (B, W, W)) and the theta-gradient matrices likewise, so
+    no custom VJP is needed.
+    """
+    _, h, w, _ = img.shape
+    out_dtype = img.dtype
+    dt = _mat_dtype(out_dtype)
+    a, _, c, _, e, f = affine_pixel_coeffs(theta, h, w, align_corners)
+    iis = jnp.arange(h, dtype=jnp.float32)
+    js = jnp.arange(w, dtype=jnp.float32)
+    py = e[:, None] * iis[None, :] + f[:, None]           # (B, Ho)
+    px = a[:, None] * js[None, :] + c[:, None]            # (B, Wo)
+    mv = _tent(py, h, padding_mode, dt)                   # (B, Ho, H)
+    mh = _tent(px, w, padding_mode, dt)                   # (B, Wo, W)
+    v = jnp.einsum("byxc,biy->bixc", img.astype(dt), mv,
+                   precision=precision,
+                   preferred_element_type=jnp.float32).astype(dt)
+    out = jnp.einsum("bixc,bjx->bijc", v, mh,
+                     precision=precision,
+                     preferred_element_type=jnp.float32)
+    return out.astype(out_dtype)

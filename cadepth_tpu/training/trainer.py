@@ -53,16 +53,24 @@ def build_loaders(cfg: Config):
     aug = cfg.data.augmentation
     sensors = cfg.data.sensor_types or ["kv1", "kv2", "realsense", "xtion"]
     common = dict(
-        data_dir=cfg.data.data_dir,
-        manifest_path=cfg.data.manifest_path,
         target_height=cfg.data.input_height,
         target_width=cfg.data.input_width,
         allowed_sensors=sensors,
         split_filtering=cfg.data.split_filtering,
         compute_rays=cfg.data.compute_rays,
     )
-    train_loader = SunRGBDLoader(split=cfg.data.train_split, **common)
-    val_loader = SunRGBDLoader(split=cfg.data.val_split, **common)
+    if cfg.data.packed_dir:
+        from cadepth_tpu.data.packed import PackedSunRGBDLoader
+
+        train_loader = PackedSunRGBDLoader(
+            cfg.data.packed_dir, split=cfg.data.train_split, **common)
+        val_loader = PackedSunRGBDLoader(
+            cfg.data.packed_dir, split=cfg.data.val_split, **common)
+    else:
+        common.update(data_dir=cfg.data.data_dir,
+                      manifest_path=cfg.data.manifest_path)
+        train_loader = SunRGBDLoader(split=cfg.data.train_split, **common)
+        val_loader = SunRGBDLoader(split=cfg.data.val_split, **common)
     train_loader.enable_augmentation(AugmentationConfig(
         enable_random_crop=aug.random_crop,
         crop_scale_min=aug.crop_scale_min,

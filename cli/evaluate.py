@@ -68,13 +68,20 @@ def main(argv=None) -> int:
     tx = build_optimizer(cfg.optimization,
                          build_lr_schedule(cfg.optimization, 1, 1))
 
-    loader = SunRGBDLoader(
-        cfg.data.data_dir, cfg.data.manifest_path, split=cfg.data.val_split,
+    loader_kw = dict(
+        split=cfg.data.val_split,
         target_height=cfg.data.input_height, target_width=cfg.data.input_width,
         allowed_sensors=cfg.data.sensor_types or
         ["kv1", "kv2", "realsense", "xtion"],
         split_filtering=cfg.data.split_filtering,
         compute_rays=cfg.data.compute_rays)
+    if cfg.data.packed_dir:
+        from cadepth_tpu.data.packed import PackedSunRGBDLoader
+
+        loader = PackedSunRGBDLoader(cfg.data.packed_dir, **loader_kw)
+    else:
+        loader = SunRGBDLoader(cfg.data.data_dir, cfg.data.manifest_path,
+                               **loader_kw)
 
     sample_batch = jax.device_put(loader.get_batch(range(min(2, len(loader)))))
     state = create_train_state(cfg, model, tx,

@@ -133,3 +133,19 @@ def test_infer_cli(tiny_yaml, dataset, tmp_path):
     assert "Depth: min=" in r.stdout
     outs = list((tmp_path / "inf").iterdir())
     assert len(outs) == 3  # depth.png, vis.png, npy
+
+
+def test_pack_dataset_cli(dataset, tmp_path):
+    root, manifest = dataset
+    out = tmp_path / "pack"
+    r = run_cli("pack_dataset.py", "--data-dir", f"{root}/sunrgbd",
+                "--manifest", manifest, "--out", str(out),
+                "--height", "32", "--width", "32")
+    assert r.returncode == 0, r.stderr
+    assert "Packed 8 samples" in r.stdout
+
+    from cadepth_tpu.data import PackedSunRGBDLoader
+
+    loader = PackedSunRGBDLoader(str(out))
+    assert len(loader) == 8
+    assert loader.get_sample(0)["rgb"].shape == (32, 32, 3)

@@ -341,3 +341,107 @@ def test_multiprocess_slicing_matches_single_process(dataset):
             }
             for k in want:
                 np.testing.assert_array_equal(got[k], np.asarray(want[k]))
+
+
+# -- packed (decode-once) dataset cache -------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pack_dir(dataset, tmp_path_factory):
+    from cadepth_tpu.data import pack_dataset
+
+    root, manifest = dataset
+    out = tmp_path_factory.mktemp("packed")
+    meta = pack_dataset(f"{root}/sunrgbd", manifest, str(out),
+                        target_height=48, target_width=64, num_threads=4)
+    assert meta["num_samples"] == 12
+    return str(out)
+
+
+def test_packed_matches_live_loader_no_aug(dataset, pack_dir):
+    from cadepth_tpu.data import PackedSunRGBDLoader
+
+    live = make_loader(dataset, split="test", compute_rays=True)
+    packed = PackedSunRGBDLoader(pack_dir, split="test")
+    assert len(packed) == len(live)
+    for i in (0, 5, 11):
+        a, b = live.get_sample(i), packed.get_sample(i)
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
+        np.testing.assert_array_equal(a["depth"], b["depth"])
+        np.testing.assert_array_equal(a["intrinsics"], b["intrinsics"])
+        np.testing.assert_array_equal(a["extrinsics"], b["extrinsics"])
+        np.testing.assert_array_equal(a["rays"], b["rays"])
+        assert a["sensor_type"] == b["sensor_type"]
+
+
+def test_packed_matches_live_loader_with_aug(dataset, pack_dir):
+    """Augmentation acts on the post-first-resize sample, so the packed
+    tail reproduces the live path bit-for-bit at equal (seed, epoch, i)."""
+    from cadepth_tpu.data import PackedSunRGBDLoader
+
+    cfg = AugmentationConfig(random_seed=3)
+    live = make_loader(dataset, split="train", compute_rays=True)
+    live.enable_augmentation(cfg)
+    live.set_epoch(2)
+    packed = PackedSunRGBDLoader(pack_dir, split="train")
+    packed.enable_augmentation(cfg)
+    packed.set_epoch(2)
+    for i in (1, 7):
+        a, b = live.get_sample(i), packed.get_sample(i)
+        np.testing.assert_array_equal(a["rgb"], b["rgb"])
+        np.testing.assert_array_equal(a["depth"], b["depth"])
+        np.testing.assert_array_equal(a["intrinsics"], b["intrinsics"])
+        np.testing.assert_array_equal(a["rays"], b["rays"])
+
+
+def test_packed_sensor_filter_and_split(pack_dir):
+    from cadepth_tpu.data import PackedSunRGBDLoader
+
+    packed = PackedSunRGBDLoader(pack_dir, allowed_sensors=("kv1",))
+    assert len(packed) == 3
+    assert all(s["sensor_type"] == "kv1" for s in packed.sample_paths)
+    packed.filter_by_sensor_type(["kv1", "xtion"])
+    assert len(packed) == 6
+    train = PackedSunRGBDLoader(pack_dir, split="train", split_filtering=True)
+    test = PackedSunRGBDLoader(pack_dir, split="test", split_filtering=True)
+    assert len(train) + len(test) == 12
+    assert 0 < len(train) < 12
+
+
+def test_packed_target_dim_override(pack_dir):
+    from cadepth_tpu.data import PackedSunRGBDLoader
+
+    packed = PackedSunRGBDLoader(pack_dir, target_height=24, target_width=32)
+    s = packed.get_sample(0)
+    assert s["rgb"].shape == (24, 32, 3)
+    assert s["depth"].shape == (24, 32, 1)
+    assert s["rays"].shape == (24, 32, 3)
+
+
+def test_pipeline_over_packed_loader(pack_dir):
+    from cadepth_tpu.data import PackedSunRGBDLoader
+
+    packed = PackedSunRGBDLoader(pack_dir, split="train")
+    packed.enable_augmentation()
+    pipe = InputPipeline(packed, batch_size=4, shuffle=True, seed=0)
+    assert not pipe._native  # packed loader must never use native decode
+    batches = list(pipe)
+    assert len(batches) == 3
+    for b in batches:
+        assert np.asarray(b["rgb"]).shape == (4, 48, 64, 3)
+        assert np.asarray(b["k4"]).shape == (4, 4)
+
+
+def test_packed_float16_mode(dataset, tmp_path):
+    from cadepth_tpu.data import PackedSunRGBDLoader, pack_dataset
+
+    root, manifest = dataset
+    out = tmp_path / "pack16"
+    pack_dataset(f"{root}/sunrgbd", manifest, str(out),
+                 target_height=48, target_width=64, dtype="float16")
+    live = make_loader(dataset, split="test", compute_rays=True)
+    packed = PackedSunRGBDLoader(str(out), split="test")
+    a, b = live.get_sample(0), packed.get_sample(0)
+    assert b["rgb"].dtype == np.float32  # promoted on read
+    np.testing.assert_allclose(a["rgb"], b["rgb"], atol=5e-4)
+    np.testing.assert_allclose(a["depth"], b["depth"], rtol=1e-3)

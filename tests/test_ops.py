@@ -187,3 +187,67 @@ def test_two_pass_bf16_data(rng):
     # bf16 data + bf16 tent weights: ~2^-8 relative agreement
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), atol=0.03)
+
+
+# -- separable (axis-aligned) affine warp ------------------------------------
+
+@pytest.mark.parametrize("pad", ["zeros", "border"])
+def test_separable_exact_on_axis_aligned_subspace(rng, pad):
+    """For rot=shear=0 (scale + translate) the shared-matrix separable warp
+    equals direct bilinear grid_sample exactly."""
+    from cadepth_tpu.ops.affine_warp import separable_affine_warp
+
+    img = jnp.asarray(rng.normal(size=(2, 24, 32, 5)).astype(np.float32))
+    th = _pcl_theta(2, sx=1.12, sy=0.91, tx=0.23, ty=-0.17)
+    want = _direct_warp(img, th, pad)
+    got = separable_affine_warp(img, th, padding_mode=pad,
+                                precision="highest")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-5)
+
+
+def test_separable_identity_and_grads(rng):
+    from cadepth_tpu.ops.affine_warp import separable_affine_warp
+
+    img = jnp.asarray(rng.normal(size=(1, 16, 20, 3)).astype(np.float32))
+    out = separable_affine_warp(img, _pcl_theta(1), precision="highest")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+    th = _pcl_theta(2, sx=1.07, sy=0.93, tx=0.1, ty=-0.05)
+    img2 = jnp.asarray(rng.normal(size=(2, 16, 20, 3)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(2, 16, 20, 3)).astype(np.float32))
+    g_direct = jax.grad(
+        lambda x: jnp.sum(_direct_warp(x, th) * cot))(img2)
+    g_sep = jax.grad(
+        lambda x: jnp.sum(separable_affine_warp(
+            x, th, precision="highest") * cot))(img2)
+    np.testing.assert_allclose(np.asarray(g_sep), np.asarray(g_direct),
+                               atol=5e-5)
+
+    # theta gradients flow (autodiff through the tent matrices)
+    g_th = jax.grad(lambda t: jnp.sum(
+        separable_affine_warp(img2, t, precision="highest")))(th)
+    assert np.isfinite(np.asarray(g_th)).all()
+    assert np.abs(np.asarray(g_th)).max() > 0
+
+
+def test_separable_tiny_offdiagonal_stays_close(rng):
+    """Documented approximation: off-diagonal (rotation/shear) terms only
+    displace samples by <= |b|·(H-1) / |d|·(W-1) px, so under the tight
+    gate bound the separable warp tracks the direct bilinear warp."""
+    from cadepth_tpu.ops.affine_warp import separable_affine_warp
+
+    # smooth image: displacement error scales with the local gradient
+    y, x = np.meshgrid(np.linspace(0, 1, 24), np.linspace(0, 1, 32),
+                       indexing="ij")
+    img = jnp.asarray(np.stack([x + y, x * y, np.sin(3 * x)], -1)[None]
+                      .astype(np.float32))
+    # rot such that |d|*(W-1) ~ 0.1 px: d = sin(r)*h/w, W=32, H=24
+    th = _pcl_theta(1, sx=1.05, sy=0.95, tx=0.1, ty=-0.05,
+                    rot=0.004, shear=0.004)
+    want = _direct_warp(img, th)
+    got = separable_affine_warp(img, th, precision="highest")
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    # border rows/cols can flip a tap across the zeros-padding edge (an
+    # O(value) effect for ANY sub-pixel approximation); bound the interior
+    assert err[:, 1:-1, 1:-1].max() < 0.02, err[:, 1:-1, 1:-1].max()
+    assert err.mean() < 0.005, err.mean()
