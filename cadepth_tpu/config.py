@@ -104,6 +104,9 @@ class OptimizationConfig:
     lr_min: float = 1e-6
     gradient_clip: bool = True
     gradient_clip_value: float = 1.0
+    grad_accum_steps: int = 1  # micro-batches averaged per optimizer update
+    #                            (optax.MultiSteps; the reference has no
+    #                            accumulation — trainer.h:24-92)
 
 
 @dataclasses.dataclass
@@ -313,6 +316,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         lr_min=float(o.get("lr_min", 1e-6)),
         gradient_clip=bool(o.get("gradient_clip", True)),
         gradient_clip_value=float(o.get("gradient_clip_value", 1.0)),
+        grad_accum_steps=int(o.get("grad_accum_steps", 1)),
     )
 
     l = raw.get("loss", {})

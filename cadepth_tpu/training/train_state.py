@@ -52,6 +52,10 @@ def build_optimizer(opt: OptimizationConfig,
         raise ValueError(f"Unknown optimizer: {opt.optimizer}")
     if opt.gradient_clip:
         tx = optax.chain(optax.clip_by_global_norm(opt.gradient_clip_value), tx)
+    if opt.grad_accum_steps > 1:
+        # Accumulate k micro-batch gradients, then clip+update on their
+        # mean — the LR schedule advances once per effective update.
+        tx = optax.MultiSteps(tx, every_k_schedule=opt.grad_accum_steps)
     return tx
 
 

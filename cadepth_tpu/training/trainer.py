@@ -148,7 +148,10 @@ class Trainer:
 
         # -- model / optimizer / steps
         self.model, self.loss_fn = build_model_and_loss(cfg)
-        steps_per_epoch = max(len(self.train_pipe), 1)
+        # With grad accumulation the schedule advances only on effective
+        # updates (optax.MultiSteps), so express epochs in update counts.
+        accum = max(cfg.optimization.grad_accum_steps, 1)
+        steps_per_epoch = max(len(self.train_pipe) // accum, 1)
         self.lr_schedule = build_lr_schedule(
             cfg.optimization, steps_per_epoch, cfg.training.num_epochs)
         self.tx = build_optimizer(cfg.optimization, self.lr_schedule)
@@ -347,7 +350,10 @@ class Trainer:
                 train_loss = self.train_epoch(epoch)
             epoch_time = time.time() - epoch_start
             step = int(self.state.step)
-            lr = float(self.lr_schedule(step))
+            # state.step counts micro-steps; the schedule is indexed by
+            # effective optimizer updates (see build_optimizer MultiSteps)
+            lr = float(self.lr_schedule(
+                step // max(self.cfg.optimization.grad_accum_steps, 1)))
 
             self.tb.add_scalar("loss/train", train_loss, epoch)
             self.tb.add_scalar("training/learning_rate", lr, epoch)

@@ -232,3 +232,41 @@ def test_trainer_spatial_parallel_mesh(dataset, tmp_path):
         assert np.isfinite(loss)
     finally:
         trainer.close()
+
+
+def test_grad_accumulation_equivalence(dataset, tmp_path):
+    """grad_accum_steps=2 fed the SAME batch twice must (a) leave params
+    unchanged after the first micro-step and (b) land exactly where one
+    accum=1 step lands (the averaged gradient equals the single-batch
+    gradient), with the LR schedule advancing per effective update."""
+    root, manifest = dataset
+    loader = SunRGBDLoader(f"{root}/sunrgbd", manifest,
+                           target_height=32, target_width=32)
+    batch = jax.device_put(loader.get_batch([0, 1]))
+
+    def build(accum):
+        cfg = tiny_config(dataset, tmp_path,
+                          optimization={"grad_accum_steps": accum,
+                                        "gradient_clip": False})
+        model, loss_fn = build_model_and_loss(cfg)
+        tx = build_optimizer(cfg.optimization, lambda s: 1e-3)
+        state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                                   batch)
+        return state, make_train_step(cfg, model, loss_fn, tx, donate=False)
+
+    state1, step1 = build(1)
+    state2, step2 = build(2)
+    p0 = jax.tree_util.tree_leaves(state2.params)[0]
+
+    state1, _ = step1(state1, batch)
+    state2, _ = step2(state2, batch)
+    # first micro-step only accumulates
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]),
+        np.asarray(p0))
+    state2, _ = step2(state2, batch)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-6)
