@@ -29,6 +29,20 @@ from cadepth_tpu.training.train_state import (
 )
 
 
+def load_exported(path: str):
+    """Rehydrate a :meth:`Predictor.export_stablehlo` artifact.
+
+    Returns a callable ``fn(batch_dict) -> depth`` that executes the
+    serialized StableHLO program (parameters are baked-in constants);
+    the batch dict must match the exported shapes exactly.
+    """
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+    return lambda batch: exported.call(batch)
+
+
 def _default_k4(batch: int, height: int, width: int) -> np.ndarray:
     """Centered pinhole with f = width (cli/infer.py convention)."""
     k4 = np.empty((batch, 4), np.float32)
@@ -56,8 +70,8 @@ class Predictor:
         self.architecture = cfg.model.architecture
         self.state = state
 
-        predict = make_predict_fn(cfg, build_model_and_loss(cfg)[0])
-        shapes = {
+        self._predict = make_predict_fn(cfg, build_model_and_loss(cfg)[0])
+        self._shapes = {
             "rgb": jax.ShapeDtypeStruct(
                 (batch_size, self.height, self.width, 3), jnp.float32),
             "rays": jax.ShapeDtypeStruct(
@@ -68,7 +82,7 @@ class Predictor:
         }
         # AOT: trace + lower + compile ONCE at construction; predict()
         # never retraces (no shape-dependent jitter in serving).
-        self._compiled = predict.lower(state, shapes).compile()
+        self._compiled = self._predict.lower(state, self._shapes).compile()
 
     # -- constructors -------------------------------------------------------
 
@@ -157,6 +171,27 @@ class Predictor:
         n = rgb.shape[0]
         out = self._compiled(self.state, self._make_batch(rgb, intrinsics))
         return np.asarray(out)[:n]
+
+    # -- deployment artifact --------------------------------------------------
+
+    def export_stablehlo(self, path: str) -> int:
+        """Serialize the inference program (params baked in as constants)
+        to a portable StableHLO artifact via ``jax.export``.
+
+        The artifact is shape- and platform-locked to this Predictor's
+        compiled configuration; reload anywhere with
+        :func:`load_exported` — no model code, config, or checkpoint
+        needed at serving time. Returns the byte size written.
+        """
+        from jax import export as jexport
+
+        state = self.state
+        fn = jax.jit(lambda batch: self._predict(state, batch))
+        exported = jexport.export(fn)(self._shapes)
+        blob = exported.serialize()
+        with open(path, "wb") as f:
+            f.write(blob)
+        return len(blob)
 
     # -- performance --------------------------------------------------------
 

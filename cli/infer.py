@@ -34,6 +34,10 @@ def parse_args(argv=None):
     p.add_argument("--output", default="./inference_out")
     p.add_argument("--colormap", default="viridis")
     p.add_argument("--save-npy", action="store_true")
+    p.add_argument("--export-stablehlo", default="",
+                   help="Also serialize the (batch-1) inference program with "
+                        "params baked in to this path (jax.export; reload "
+                        "with cadepth_tpu.inference.load_exported)")
     p.add_argument("--platform", default="")
     return p.parse_args(argv)
 
@@ -134,6 +138,14 @@ def main(argv=None) -> int:
     print(f"Depth: min={depth_full.min():.2f}m max={depth_full.max():.2f}m "
           f"mean={depth_full.mean():.2f}m")
     print(f"Wrote {out}/{stem}_depth.png (16-bit mm) and {stem}_depth_vis.png")
+
+    if args.export_stablehlo:
+        from cadepth_tpu.inference import Predictor
+
+        predictor = Predictor(cfg, state, batch_size=1)
+        nbytes = predictor.export_stablehlo(args.export_stablehlo)
+        print(f"Exported StableHLO artifact ({nbytes / 2**20:.1f} MiB) "
+              f"to {args.export_stablehlo}")
     return 0
 
 

@@ -212,3 +212,48 @@ def test_predictor_aot_serving(tmp_path):
     stats = predictor.benchmark(iterations=5, warmup=1)
     assert stats["p99_ms"] >= stats["p50_ms"] > 0
     assert stats["images_per_sec"] > 0
+
+
+def test_predictor_stablehlo_export_roundtrip(tmp_path):
+    """export_stablehlo -> load_exported executes the serialized program
+    (params baked in) and matches the live predictor bit-for-bit."""
+    import numpy as np
+
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.inference import Predictor, load_exported
+    from cadepth_tpu.training.schedule import build_lr_schedule
+    from cadepth_tpu.training.train_state import (
+        build_model_and_loss,
+        build_optimizer,
+        create_train_state,
+    )
+
+    cfg = config_from_dict({
+        "data": {"input_height": 32, "input_width": 32},
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+    })
+    model, _ = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization,
+                         build_lr_schedule(cfg.optimization, 1, 1))
+    rng = np.random.default_rng(1)
+    sample = {
+        "rgb": rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32),
+        "rays": np.zeros((2, 32, 32, 3), np.float32),
+        "intrinsics": np.tile(np.eye(3, dtype=np.float32), (2, 1, 1)),
+        "k4": np.ones((2, 4), np.float32),
+    }
+    import jax
+
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                               jax.device_put(sample))
+    predictor = Predictor(cfg, state, batch_size=2)
+
+    path = tmp_path / "model.stablehlo"
+    nbytes = predictor.export_stablehlo(str(path))
+    assert nbytes > 0 and path.stat().st_size == nbytes
+
+    rgb = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    want = predictor.predict(rgb)
+    fn = load_exported(str(path))
+    got = np.asarray(fn(predictor._make_batch(rgb, None)))
+    np.testing.assert_allclose(got, want, atol=1e-6)
