@@ -111,11 +111,15 @@ def bench_pipeline_fed(batch: int, steps: int, packed: bool = False):
             pack_dataset(f"{tmp}/sunrgbd", manifest, f"{tmp}/packed",
                          target_height=HEIGHT, target_width=WIDTH,
                          num_threads=8)
-            loader = PackedSunRGBDLoader(f"{tmp}/packed", split="train")
+            loader = PackedSunRGBDLoader(f"{tmp}/packed", split="train",
+                                         rays_on_device=True)
         else:
+            # rays_on_device matches the trainer's production path: the
+            # jitted step derives rays from K on device, so the host
+            # skips the grid (and its H2D bytes) entirely.
             loader = SunRGBDLoader(f"{tmp}/sunrgbd", manifest, split="train",
                                    target_height=HEIGHT, target_width=WIDTH,
-                                   compute_rays=True)
+                                   compute_rays=True, rays_on_device=True)
         pipe = InputPipeline(loader, batch, shuffle=True, seed=0,
                              num_threads=int(os.environ.get(
                                  "CADEPTH_BENCH_THREADS", "8")),

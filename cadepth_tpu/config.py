@@ -154,6 +154,8 @@ class CheckpointConfig:
     save_last: bool = True
     keep_last_n: int = 3
     resume_from: str = ""
+    async_save: bool = False  # overlap checkpoint IO with the next epoch
+    #                           (finalized before the next save/restore)
 
 
 @dataclasses.dataclass
@@ -362,6 +364,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         save_last=bool(c.get("save_last", True)),
         keep_last_n=int(c.get("keep_last_n", 3)),
         resume_from=c.get("resume_from", ""),
+        async_save=bool(c.get("async_save", False)),
     )
 
     e = raw.get("early_stopping", {})

@@ -153,6 +153,7 @@ class PackedSunRGBDLoader(SunRGBDLoader):
         allowed_sensors: Sequence[str] = ALL_SENSORS,
         split_filtering: bool = False,
         compute_rays: bool = True,
+        rays_on_device: bool = False,
     ):
         pack = Path(pack_dir)
         with open(pack / _META_NAME) as f:
@@ -164,6 +165,7 @@ class PackedSunRGBDLoader(SunRGBDLoader):
         self.allowed_sensors = list(allowed_sensors)
         self.split_filtering = split_filtering
         self.compute_rays = compute_rays
+        self.rays_on_device = rays_on_device  # see SunRGBDLoader
         self.augmentation_enabled = False
         from cadepth_tpu.data.sunrgbd import AugmentationConfig
 
@@ -210,8 +212,8 @@ class PackedSunRGBDLoader(SunRGBDLoader):
             "image_path": str(info["image_dir"]),
             "sensor_type": info["sensor_type"],
             "scene_type": info["scene_type"],
-            "rays": None if self.compute_rays else np.zeros(
-                self._rgb.shape[1:3] + (3,), np.float32),
+            "rays": None if (self.compute_rays or self.rays_on_device)
+            else np.zeros(self._rgb.shape[1:3] + (3,), np.float32),
         }
         # Identical tail to SunRGBDLoader.get_sample: the pack stores the
         # post-first-resize state, so resize here is a no-op unless the
@@ -220,7 +222,7 @@ class PackedSunRGBDLoader(SunRGBDLoader):
         if self.augmentation_enabled and self.split == "train":
             self._augment_sample(sample, index)
             self._resize_sample(sample)
-        if self.compute_rays:
+        if self.compute_rays and not self.rays_on_device:
             sample["rays"] = self._compute_rays(
                 sample["intrinsics"], self.target_height, self.target_width)
         return sample

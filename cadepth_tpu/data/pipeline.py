@@ -85,7 +85,9 @@ class InputPipeline:
         if use_native in ("auto", "always"):
             from cadepth_tpu.data import native as _native_mod
 
-            ok = (_native_mod.available() and loader.compute_rays
+            ok = (_native_mod.available()
+                  and (loader.compute_rays
+                       or getattr(loader, "rays_on_device", False))
                   and getattr(loader, "supports_native", True))
             if use_native == "always" and not ok:
                 raise RuntimeError(
@@ -114,15 +116,17 @@ class InputPipeline:
 
     def _assemble(self, samples) -> Dict[str, np.ndarray]:
         k = np.stack([s["intrinsics"] for s in samples])
-        return {
+        batch = {
             "rgb": np.stack([s["rgb"] for s in samples]),
             "depth": np.stack([s["depth"] for s in samples]),
-            "rays": np.stack([s["rays"] for s in samples]),
             "intrinsics": k.astype(np.float32),
             "k4": np.stack(
                 [k[:, 0, 0], k[:, 1, 1], k[:, 0, 2], k[:, 1, 2]], -1
             ).astype(np.float32),
         }
+        if samples[0]["rays"] is not None:  # rays_on_device omits the key
+            batch["rays"] = np.stack([s["rays"] for s in samples])
+        return batch
 
     def _sharding_for(self, key: str):
         """`sharding` may be one Sharding for every key or a per-key dict
@@ -169,7 +173,8 @@ class InputPipeline:
                      for i in batch_indices]
         return self._native_mod.load_batch(
             dirs, loader.target_height, loader.target_width,
-            augment=augment, aug_seeds=seeds, compute_rays=True,
+            augment=augment, aug_seeds=seeds,
+            compute_rays=not getattr(loader, "rays_on_device", False),
             num_threads=self.num_threads)
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:

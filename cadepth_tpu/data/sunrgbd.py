@@ -84,6 +84,7 @@ class SunRGBDLoader:
         allowed_sensors: Sequence[str] = ALL_SENSORS,
         split_filtering: bool = False,
         compute_rays: bool = False,
+        rays_on_device: bool = False,
     ):
         self.data_dir = data_dir
         self.manifest_path = manifest_path
@@ -93,6 +94,13 @@ class SunRGBDLoader:
         self.allowed_sensors = list(allowed_sensors)
         self.split_filtering = split_filtering
         self.compute_rays = compute_rays
+        # The jitted train/eval/predict steps derive rays from K on device
+        # (train_state._batch_with_rays) and OVERWRITE any host rays, so
+        # when a step consumes the batches the host grid is pure waste —
+        # ~3.4 ms/sample at 240x320 plus a third of the H2D bytes.
+        # rays_on_device=True skips host rays entirely (batches carry no
+        # "rays" key; the step inserts them).
+        self.rays_on_device = rays_on_device
         self.augmentation_enabled = False
         self.aug_config = AugmentationConfig()
         self.epoch = 0
@@ -272,7 +280,7 @@ class SunRGBDLoader:
 
         h, w = sample["rgb"].shape[:2]
         rays_path = image_dir / "rays.bin"
-        if self.compute_rays:
+        if self.compute_rays or self.rays_on_device:
             # Rays are derived from the FINAL (post-resize/augment) K below —
             # exact by construction, unlike resizing/flipping a precomputed
             # grid (the reference's path, kept for rays.bin inputs).
@@ -286,23 +294,28 @@ class SunRGBDLoader:
         if self.augmentation_enabled and self.split == "train":
             self._augment_sample(sample, index)
             self._resize_sample(sample)
-        if self.compute_rays:
+        if self.compute_rays and not self.rays_on_device:
             sample["rays"] = self._compute_rays(
                 sample["intrinsics"], self.target_height, self.target_width)
         return sample
 
     def get_batch(self, indices: Sequence[int]) -> Dict[str, np.ndarray]:
-        """Stack samples into a batch dict with k4 (`sunrgbd_loader.cpp:171-180`)."""
+        """Stack samples into a batch dict with k4 (`sunrgbd_loader.cpp:171-180`).
+
+        With ``rays_on_device`` the "rays" key is absent — the jitted
+        steps insert the device-derived grid."""
         samples = [self.get_sample(i) for i in indices]
         k = np.stack([s["intrinsics"] for s in samples])
-        return {
+        batch = {
             "rgb": np.stack([s["rgb"] for s in samples]),
             "depth": np.stack([s["depth"] for s in samples]),
-            "rays": np.stack([s["rays"] for s in samples]),
             "intrinsics": k,
             "k4": np.stack([k[:, 0, 0], k[:, 1, 1], k[:, 0, 2], k[:, 1, 2]], -1),
             "extrinsics": np.stack([s["extrinsics"] for s in samples]),
         }
+        if samples[0]["rays"] is not None:
+            batch["rays"] = np.stack([s["rays"] for s in samples])
+        return batch
 
     # -- resize + augmentation ----------------------------------------------
 

@@ -71,15 +71,20 @@ class Predictor:
         self.state = state
 
         self._predict = make_predict_fn(cfg, build_model_and_loss(cfg)[0])
+        # When compute_rays is on, the predict program derives the ray
+        # grid on device from K — the request then carries no rays at
+        # all (a third less host work + transfer per call).
+        self._derive_rays = bool(cfg.data.compute_rays)
         self._shapes = {
             "rgb": jax.ShapeDtypeStruct(
-                (batch_size, self.height, self.width, 3), jnp.float32),
-            "rays": jax.ShapeDtypeStruct(
                 (batch_size, self.height, self.width, 3), jnp.float32),
             "intrinsics": jax.ShapeDtypeStruct((batch_size, 3, 3),
                                                jnp.float32),
             "k4": jax.ShapeDtypeStruct((batch_size, 4), jnp.float32),
         }
+        if not self._derive_rays:
+            self._shapes["rays"] = jax.ShapeDtypeStruct(
+                (batch_size, self.height, self.width, 3), jnp.float32)
         # AOT: trace + lower + compile ONCE at construction; predict()
         # never retraces (no shape-dependent jitter in serving).
         self._compiled = self._predict.lower(state, self._shapes).compile()
@@ -150,16 +155,15 @@ class Predictor:
                 k[n:] = intrinsics[-1]
             k4 = np.stack([k[:, 0, 0], k[:, 1, 1], k[:, 0, 2], k[:, 1, 2]],
                           -1).astype(np.float32)
-        # rays derived from K on host here (serving batches are small);
-        # the train path derives them on device
-        from cadepth_tpu.data.sunrgbd import SunRGBDLoader
+        batch = {"rgb": rgb_full, "intrinsics": k.astype(np.float32),
+                 "k4": k4}
+        if not self._derive_rays:
+            from cadepth_tpu.data.sunrgbd import SunRGBDLoader
 
-        rays = np.stack([SunRGBDLoader._compute_rays(k[i], h, w)
-                         for i in range(self.batch_size)]).astype(np.float32)
-        return jax.device_put({
-            "rgb": rgb_full, "rays": rays,
-            "intrinsics": k.astype(np.float32), "k4": k4,
-        })
+            batch["rays"] = np.stack(
+                [SunRGBDLoader._compute_rays(k[i], h, w)
+                 for i in range(self.batch_size)]).astype(np.float32)
+        return jax.device_put(batch)
 
     def predict(self, rgb: np.ndarray,
                 intrinsics: Optional[np.ndarray] = None) -> np.ndarray:

@@ -58,6 +58,9 @@ def build_loaders(cfg: Config):
         allowed_sensors=sensors,
         split_filtering=cfg.data.split_filtering,
         compute_rays=cfg.data.compute_rays,
+        # the jitted steps derive rays on device when compute_rays, so
+        # host batches skip the grid (and its H2D transfer) entirely
+        rays_on_device=cfg.data.compute_rays,
     )
     if cfg.data.packed_dir:
         from cadepth_tpu.data.packed import PackedSunRGBDLoader
@@ -410,7 +413,8 @@ class Trainer:
                         and (epoch + 1) % max(cfg.checkpointing.save_interval, 1) == 0)
             is_last = epoch == cfg.training.num_epochs - 1
             if periodic or is_best or (is_last and cfg.checkpointing.save_last):
-                self.ckpt.save(self.state, epoch, val_metrics, is_best=is_best)
+                self.ckpt.save(self.state, epoch, val_metrics, is_best=is_best,
+                               blocking=not cfg.checkpointing.async_save)
 
             msg = (f"epoch {epoch + 1}/{cfg.training.num_epochs} "
                    f"loss={train_loss:.4f} lr={lr:.2e} time={epoch_time:.1f}s")
@@ -428,6 +432,7 @@ class Trainer:
                          f"{self.epochs_without_improvement} epochs)")
                 break
 
+        self.ckpt.finalize()  # land any in-flight async save
         self.log(f"Training complete in {time.time() - t0:.1f}s; "
                  f"best {cfg.validation.primary_metric}={self.best_metric:.4f}")
         self.tb.flush()

@@ -74,7 +74,8 @@ def main(argv=None) -> int:
         allowed_sensors=cfg.data.sensor_types or
         ["kv1", "kv2", "realsense", "xtion"],
         split_filtering=cfg.data.split_filtering,
-        compute_rays=cfg.data.compute_rays)
+        compute_rays=cfg.data.compute_rays,
+        rays_on_device=cfg.data.compute_rays)
     if cfg.data.packed_dir:
         from cadepth_tpu.data.packed import PackedSunRGBDLoader
 

@@ -445,3 +445,48 @@ def test_packed_float16_mode(dataset, tmp_path):
     assert b["rgb"].dtype == np.float32  # promoted on read
     np.testing.assert_allclose(a["rgb"], b["rgb"], atol=5e-4)
     np.testing.assert_allclose(a["depth"], b["depth"], rtol=1e-3)
+
+
+def test_rays_on_device_omits_host_rays(dataset):
+    """rays_on_device: batches carry no rays key (the jitted steps derive
+    the grid on device and would overwrite host rays anyway), and the
+    resulting train step is bit-identical to the host-rays path."""
+    import jax
+
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.training.schedule import build_lr_schedule
+    from cadepth_tpu.training.train_state import (
+        build_model_and_loss,
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    loader_dev = make_loader(dataset, compute_rays=True, rays_on_device=True)
+    loader_host = make_loader(dataset, compute_rays=True)
+    s = loader_dev.get_sample(0)
+    assert s["rays"] is None
+    b_dev = loader_dev.get_batch([0, 1])
+    b_host = loader_host.get_batch([0, 1])
+    assert "rays" not in b_dev and "rays" in b_host
+
+    pipe = InputPipeline(loader_dev, batch_size=4, shuffle=False,
+                         use_native="never")
+    first = next(iter(pipe))
+    assert "rays" not in first
+
+    cfg = config_from_dict({
+        "model": {"architecture": "geometry_aware", "init_features": 4},
+        "data": {"compute_rays": True},
+        "optimization": {"lr_scheduler": "none", "lr_warmup_epochs": 0},
+    })
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization,
+                         build_lr_schedule(cfg.optimization, 1, 1))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                               jax.device_put(b_dev))
+    step = make_train_step(cfg, model, loss_fn, tx, donate=False)
+    _, logs_dev = step(state, jax.device_put(b_dev))
+    _, logs_host = step(state, jax.device_put(b_host))
+    np.testing.assert_array_equal(np.asarray(logs_dev["total_loss"]),
+                                  np.asarray(logs_host["total_loss"]))

@@ -1,6 +1,8 @@
 """End-to-end training: loop smoke, overfit sanity, checkpoint resume,
 LR schedules. Runs on the CPU backend with a tiny model + synthetic data."""
 
+from pathlib import Path
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -270,3 +272,39 @@ def test_grad_accumulation_equivalence(dataset, tmp_path):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_checkpoint_async_save(dataset, tmp_path):
+    """blocking=False defers meta/best/retention to finalize(), which is
+    also implied by the next save or any restore/lookup."""
+    cfg = tiny_config(dataset, tmp_path)
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization, lambda s: 1e-3)
+    root, manifest = dataset
+    loader = SunRGBDLoader(f"{root}/sunrgbd", manifest,
+                           target_height=32, target_width=32)
+    batch = jax.device_put(loader.get_batch([0, 1]))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, model, loss_fn, tx, donate=False)
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt_async"), keep_last_n=2)
+    state, _ = step(state, batch)
+    path1 = mgr.save(state, epoch=0, metrics={"abs_rel": 0.7},
+                     is_best=True, blocking=False)
+    # next async save implicitly finalizes the first
+    state, _ = step(state, batch)
+    mgr.save(state, epoch=1, metrics={"abs_rel": 0.6}, is_best=True,
+             blocking=False)
+    assert (tmp_path / "ckpt_async" / "step_00000001.meta.json").exists()
+    # lookups finalize the in-flight save
+    assert mgr.best_metric_value() == 0.6
+    assert mgr.latest_checkpoint().endswith("step_00000002")
+    target = create_train_state(cfg, model, tx, jax.random.PRNGKey(1), batch)
+    restored, meta = mgr.restore_with_meta(mgr.latest_checkpoint(), target)
+    assert int(restored.step) == 2
+    assert meta["epoch"] == 1
+    for x, y in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # path1 still exists under keep_last_n=2
+    assert Path(path1).exists()
