@@ -102,7 +102,10 @@ def bench_pipeline_fed(batch: int, steps: int, packed: bool = False):
     cfg, state, train_step, _ = _build("baseline_unet", batch,
                                        init_features=64)
     with tempfile.TemporaryDirectory() as tmp:
-        n_images = max((steps + WARMUP_STEPS) * batch // 4 + 1, 8)
+        # Steady-state epochs: a small fixture re-read every epoch, like
+        # a real training run. Sized to a few batches per epoch so the
+        # timed window spans multiple epoch boundaries.
+        n_images = max(4 * batch // 4, 2)
         manifest = generate_synthetic_dataset(
             tmp, images_per_sensor=n_images, seed=0, structured=True,
             sensor_specs={s: (WIDTH, HEIGHT, WIDTH, HEIGHT)
@@ -111,8 +114,11 @@ def bench_pipeline_fed(batch: int, steps: int, packed: bool = False):
             pack_dataset(f"{tmp}/sunrgbd", manifest, f"{tmp}/packed",
                          target_height=HEIGHT, target_width=WIDTH,
                          num_threads=8)
+            # preload: this host runs proactive page-cache reclaim
+            # (DAMON pageout), which evicts memmapped pack pages between
+            # epochs; anonymous RAM is immune (see PackedSunRGBDLoader)
             loader = PackedSunRGBDLoader(f"{tmp}/packed", split="train",
-                                         rays_on_device=True)
+                                         rays_on_device=True, preload=True)
         else:
             # rays_on_device matches the trainer's production path: the
             # jitted step derives rays from K on device, so the host
@@ -120,20 +126,22 @@ def bench_pipeline_fed(batch: int, steps: int, packed: bool = False):
             loader = SunRGBDLoader(f"{tmp}/sunrgbd", manifest, split="train",
                                    target_height=HEIGHT, target_width=WIDTH,
                                    compute_rays=True, rays_on_device=True)
+        os.sync()  # settle fixture/pack writeback before the timed loop
         pipe = InputPipeline(loader, batch, shuffle=True, seed=0,
                              num_threads=int(os.environ.get(
                                  "CADEPTH_BENCH_THREADS", "8")),
                              prefetch_depth=2)
         done = 0
         t0 = None
-        for b in pipe:
-            state, logs = train_step(state, b)
-            done += 1
-            if done == WARMUP_STEPS:
-                hard_sync(state)
-                t0 = time.perf_counter()
-            if done >= WARMUP_STEPS + steps:
-                break
+        while done < WARMUP_STEPS + steps:
+            for b in pipe:  # one pass = one epoch; re-enter for the next
+                state, logs = train_step(state, b)
+                done += 1
+                if done == WARMUP_STEPS:
+                    hard_sync(state)
+                    t0 = time.perf_counter()
+                if done >= WARMUP_STEPS + steps:
+                    break
         hard_sync(state)
         measured = done - WARMUP_STEPS
         if t0 is None or measured <= 0:

@@ -68,6 +68,8 @@ class DataConfig:
     packed_dir: str = ""  # decode-once cache dir (cli/pack_dataset.py); when
     #                       set, loaders read memmapped samples instead of
     #                       decoding data_dir images each epoch
+    packed_preload: bool = False  # copy the pack into RAM (immune to page-
+    #                               cache reclaim; costs the pack size in RAM)
     augmentation: AugmentationYaml = dataclasses.field(default_factory=AugmentationYaml)
 
 
@@ -265,6 +267,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         compute_rays=bool(d.get("compute_rays", True)),
         use_native_loader=str(d.get("use_native_loader", "auto")),
         packed_dir=str(d.get("packed_dir", "")),
+        packed_preload=bool(d.get("packed_preload", False)),
         augmentation=AugmentationYaml(
             random_crop=bool(aug.get("random_crop", True)),
             crop_scale_min=float(aug.get("crop_scale_min", 0.7)),

@@ -154,6 +154,7 @@ class PackedSunRGBDLoader(SunRGBDLoader):
         split_filtering: bool = False,
         compute_rays: bool = True,
         rays_on_device: bool = False,
+        preload: bool = False,
     ):
         pack = Path(pack_dir)
         with open(pack / _META_NAME) as f:
@@ -172,11 +173,33 @@ class PackedSunRGBDLoader(SunRGBDLoader):
         self.aug_config = AugmentationConfig()
         self.epoch = 0
         self._rng = np.random.default_rng(42)
-        self._rgb = np.load(pack / "rgb.npy", mmap_mode="r")
-        self._depth = np.load(pack / "depth.npy", mmap_mode="r")
-        self._intrinsics = np.load(pack / "intrinsics.npy", mmap_mode="r")
-        self._extrinsics = np.load(pack / "extrinsics.npy", mmap_mode="r")
+        # preload=True copies the pack into anonymous RAM instead of
+        # memory-mapping it: file-backed pages are reclaimable (and some
+        # hosts run proactive reclaim — e.g. DAMON pageout — that evicts
+        # once-per-epoch access patterns back to disk), while anonymous
+        # pages are pinned wherever swap is disabled. Costs the pack's
+        # full size in RAM; TPU-VM hosts have hundreds of GB.
+        mmap_mode = None if preload else "r"
+        self.preload = preload
+        self._rgb = np.load(pack / "rgb.npy", mmap_mode=mmap_mode)
+        self._depth = np.load(pack / "depth.npy", mmap_mode=mmap_mode)
+        self._intrinsics = np.load(pack / "intrinsics.npy",
+                                   mmap_mode=mmap_mode)
+        self._extrinsics = np.load(pack / "extrinsics.npy",
+                                   mmap_mode=mmap_mode)
         self._load_manifest()
+
+    def warm(self) -> None:
+        """Prefault the memmaps into the page cache (sequential read).
+
+        A freshly written (or freshly booted) pack reads at disk speed
+        on first touch; epochs 2+ run at memcpy speed. Call this once
+        before training to pay the fault cost up front, sequentially
+        (~5x faster than faulting in shuffle order)."""
+        for arr in (self._rgb, self._depth, self._intrinsics,
+                    self._extrinsics):
+            for i in range(0, arr.shape[0], 64):
+                np.sum(arr[i:i + 64], dtype=np.float64)
 
     def _load_manifest(self) -> None:
         """Build the filtered index over pack records (mirrors the live
@@ -199,6 +222,43 @@ class PackedSunRGBDLoader(SunRGBDLoader):
     def filter_by_sensor_type(self, sensor_types: Sequence[str]) -> None:
         self.allowed_sensors = list(sensor_types)
         self._load_manifest()
+
+    def fast_batch_applicable(self) -> bool:
+        """True when batches need no per-sample Python work (see
+        :meth:`fast_batch`)."""
+        augmenting = self.augmentation_enabled and self.split == "train"
+        resizing = (self.target_height, self.target_width) != \
+            tuple(self._rgb.shape[1:3])
+        return not augmenting and not resizing and (self.compute_rays
+                                                    or self.rays_on_device)
+
+    def fast_batch(self, indices: Sequence[int]) -> Optional[Dict[str, np.ndarray]]:
+        """Vectorized pipeline-batch assembly, or None if inapplicable.
+
+        When no per-sample Python work is needed (augmentation off or
+        non-train split, no target-dim override, device-derived rays),
+        a batch is a single fancy-index per array — one C-level copy
+        instead of B ``get_sample`` calls + ``np.stack``. ~10x cheaper
+        host-side than the threaded per-sample path, which matters when
+        the host is core-starved. Returns the InputPipeline batch
+        schema (no "extrinsics" key, no "rays" key)."""
+        if not self.fast_batch_applicable():
+            return None
+        rows = [self.sample_paths[int(i)]["row"] for i in indices]
+        k = np.asarray(self._intrinsics[rows], dtype=np.float32)
+        batch = {
+            "rgb": np.asarray(self._rgb[rows], dtype=np.float32),
+            "depth": np.asarray(self._depth[rows], dtype=np.float32),
+            "intrinsics": k,
+            "k4": np.stack([k[:, 0, 0], k[:, 1, 1], k[:, 0, 2], k[:, 1, 2]],
+                           -1).astype(np.float32),
+        }
+        if not self.rays_on_device:
+            batch["rays"] = np.stack([
+                self._compute_rays(k[i], self.target_height,
+                                   self.target_width)
+                for i in range(len(rows))])
+        return batch
 
     def get_sample(self, index: int) -> Dict[str, object]:
         """Memmap copy + the live loader's augment/resize/rays tail."""

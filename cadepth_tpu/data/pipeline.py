@@ -225,6 +225,27 @@ class InputPipeline:
             finally:
                 out_q.put(_STOP)
 
+        def producer_fast():
+            """Whole-batch vectorized assembly (packed loaders, no
+            augmentation): one fancy-index per array beats B per-sample
+            futures + np.stack by ~10x of host time, and needs no
+            thread pool at all."""
+            try:
+                for b in range(num_batches):
+                    if stop.is_set():
+                        return
+                    batch = self.loader.fast_batch(batch_indices(b))
+                    if batch is None:  # applicability flipped mid-epoch
+                        batch = self._assemble(
+                            [self.loader.get_sample(int(i))
+                             for i in batch_indices(b)])
+                    if not emit(batch):
+                        return
+            except Exception as exc:
+                error.append(exc)
+            finally:
+                out_q.put(_STOP)
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
@@ -255,6 +276,9 @@ class InputPipeline:
 
         if self._native:
             producer = producer_native
+        elif getattr(self.loader, "fast_batch_applicable",
+                     lambda: False)():
+            producer = producer_fast
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

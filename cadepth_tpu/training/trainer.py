@@ -65,6 +65,7 @@ def build_loaders(cfg: Config):
     if cfg.data.packed_dir:
         from cadepth_tpu.data.packed import PackedSunRGBDLoader
 
+        common["preload"] = cfg.data.packed_preload
         train_loader = PackedSunRGBDLoader(
             cfg.data.packed_dir, split=cfg.data.train_split, **common)
         val_loader = PackedSunRGBDLoader(

@@ -79,7 +79,9 @@ def main(argv=None) -> int:
     if cfg.data.packed_dir:
         from cadepth_tpu.data.packed import PackedSunRGBDLoader
 
-        loader = PackedSunRGBDLoader(cfg.data.packed_dir, **loader_kw)
+        loader = PackedSunRGBDLoader(cfg.data.packed_dir,
+                                     preload=cfg.data.packed_preload,
+                                     **loader_kw)
     else:
         loader = SunRGBDLoader(cfg.data.data_dir, cfg.data.manifest_path,
                                **loader_kw)

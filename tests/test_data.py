@@ -374,6 +374,59 @@ def test_packed_matches_live_loader_no_aug(dataset, pack_dir):
         assert a["sensor_type"] == b["sensor_type"]
 
 
+def test_packed_warm_prefault(pack_dir):
+    """warm() prefaults the memmaps without changing read results."""
+    from cadepth_tpu.data import PackedSunRGBDLoader
+
+    packed = PackedSunRGBDLoader(pack_dir, split="test")
+    before = packed.get_batch([0, 1])
+    packed.warm()
+    after = packed.get_batch([0, 1])
+    for k in ("rgb", "depth", "intrinsics", "extrinsics"):
+        np.testing.assert_array_equal(before[k], after[k])
+
+
+def test_packed_fast_batch_parity(pack_dir):
+    """fast_batch (vectorized assembly) must equal the per-sample
+    pipeline path bit-for-bit, and correctly refuse when augmentation
+    or a target-dim override requires per-sample work."""
+    from cadepth_tpu.data import PackedSunRGBDLoader
+
+    loader = PackedSunRGBDLoader(pack_dir, split="test", compute_rays=True,
+                                 rays_on_device=True)
+    assert loader.fast_batch_applicable()
+    idx = [3, 0, 7]
+    fast = loader.fast_batch(idx)
+    pipe = InputPipeline(loader, batch_size=3, shuffle=False,
+                         use_native="never")
+    slow = pipe._assemble([loader.get_sample(i) for i in idx])
+    assert set(fast) == set(slow)
+    for k in fast:
+        np.testing.assert_array_equal(fast[k], slow[k])
+
+    # pipeline actually routes through fast_batch and yields equal batches
+    got = next(iter(pipe))
+    want = loader.fast_batch(list(range(3)))
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+
+    # host-rays mode keeps the rays key
+    loader_hr = PackedSunRGBDLoader(pack_dir, split="test", compute_rays=True)
+    fb = loader_hr.fast_batch(idx)
+    np.testing.assert_array_equal(
+        fb["rays"], np.stack([loader_hr.get_sample(i)["rays"] for i in idx]))
+
+    # augmentation on the train split disables the fast path
+    tr = PackedSunRGBDLoader(pack_dir, split="train", rays_on_device=True)
+    tr.enable_augmentation(tr.aug_config)
+    assert not tr.fast_batch_applicable()
+    assert tr.fast_batch(idx) is None
+    # target-dim override disables it too
+    ov = PackedSunRGBDLoader(pack_dir, split="test", target_height=24,
+                             target_width=32, rays_on_device=True)
+    assert not ov.fast_batch_applicable()
+
+
 def test_packed_matches_live_loader_with_aug(dataset, pack_dir):
     """Augmentation acts on the post-first-resize sample, so the packed
     tail reproduces the live path bit-for-bit at equal (seed, epoch, i)."""
