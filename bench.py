@@ -149,6 +149,51 @@ def bench_pipeline_fed(batch: int, steps: int, packed: bool = False):
         return measured * batch / (time.perf_counter() - t0)
 
 
+def bench_device_resident(batch: int, steps: int, augment: bool = True):
+    """Train loop fed by the HBM-resident dataset: per-step H2D is a
+    (B,) int32 index vector; gather + on-device augmentation run inside
+    jitted programs. The TPU-native answer to host/interconnect-bound
+    feeding (PERF_NOTES 'Fed-loop pathology')."""
+    import tempfile
+
+    from cadepth_tpu.data import generate_synthetic_dataset
+    from cadepth_tpu.data.device_resident import DeviceDataset, DevicePipeline
+    from cadepth_tpu.data.packed import PackedSunRGBDLoader, pack_dataset
+
+    cfg, state, train_step, _ = _build("baseline_unet", batch,
+                                       init_features=64)
+    with tempfile.TemporaryDirectory() as tmp:
+        n_images = max(4 * batch // 4, 2)
+        manifest = generate_synthetic_dataset(
+            tmp, images_per_sensor=n_images, seed=0, structured=True,
+            sensor_specs={s: (WIDTH, HEIGHT, WIDTH, HEIGHT)
+                          for s in ("kv1", "kv2", "realsense", "xtion")})
+        pack_dataset(f"{tmp}/sunrgbd", manifest, f"{tmp}/packed",
+                     target_height=HEIGHT, target_width=WIDTH, num_threads=8)
+        loader = PackedSunRGBDLoader(f"{tmp}/packed", split="train",
+                                     rays_on_device=True)
+        if augment:
+            loader.enable_augmentation(loader.aug_config)
+        ds = DeviceDataset(loader)
+        pipe = DevicePipeline(ds, batch, shuffle=True, seed=0)
+        done = 0
+        t0 = None
+        while done < WARMUP_STEPS + steps:
+            for b in pipe:
+                state, logs = train_step(state, b)
+                done += 1
+                if done == WARMUP_STEPS:
+                    hard_sync(state)
+                    t0 = time.perf_counter()
+                if done >= WARMUP_STEPS + steps:
+                    break
+        hard_sync(state)
+        measured = done - WARMUP_STEPS
+        if t0 is None or measured <= 0:
+            return 0.0
+        return measured * batch / (time.perf_counter() - t0)
+
+
 def main() -> None:
     from cadepth_tpu.utils import enable_compilation_cache
 
@@ -193,6 +238,11 @@ def main() -> None:
         detail["baseline_unet_packed_fed_img_per_sec"] = round(fed_packed, 2)
     except Exception as exc:  # noqa: BLE001
         detail["packed_fed_error"] = repr(exc)
+    try:
+        devres = bench_device_resident(batch=16, steps=30, augment=True)
+        detail["baseline_unet_device_resident_img_per_sec"] = round(devres, 2)
+    except Exception as exc:  # noqa: BLE001
+        detail["device_resident_error"] = repr(exc)
 
     print(json.dumps(detail, indent=2), file=sys.stderr)
     try:

@@ -70,6 +70,12 @@ class DataConfig:
     #                       decoding data_dir images each epoch
     packed_preload: bool = False  # copy the pack into RAM (immune to page-
     #                               cache reclaim; costs the pack size in RAM)
+    device_resident: bool = False  # upload the pack to HBM once and batch by
+    #                                on-device gather (+ on-device augment);
+    #                                zero per-step H2D. Needs packed_dir and
+    #                                a pack at the target resolution.
+    device_resident_dtype: str = "float32"  # HBM storage dtype for RGB/depth
+    #                                         ("bfloat16" halves footprint)
     augmentation: AugmentationYaml = dataclasses.field(default_factory=AugmentationYaml)
 
 
@@ -268,6 +274,8 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         use_native_loader=str(d.get("use_native_loader", "auto")),
         packed_dir=str(d.get("packed_dir", "")),
         packed_preload=bool(d.get("packed_preload", False)),
+        device_resident=bool(d.get("device_resident", False)),
+        device_resident_dtype=str(d.get("device_resident_dtype", "float32")),
         augmentation=AugmentationYaml(
             random_crop=bool(aug.get("random_crop", True)),
             crop_scale_min=float(aug.get("crop_scale_min", 0.7)),

@@ -8,8 +8,11 @@ from cadepth_tpu.data.sunrgbd import AugmentationConfig, SunRGBDLoader
 from cadepth_tpu.data.synthetic import generate_synthetic_dataset
 from cadepth_tpu.data.pipeline import InputPipeline
 from cadepth_tpu.data.packed import PackedSunRGBDLoader, pack_dataset
+from cadepth_tpu.data.device_resident import DeviceDataset, DevicePipeline
 
 __all__ = [
+    "DeviceDataset",
+    "DevicePipeline",
     "PackedSunRGBDLoader",
     "pack_dataset",
     "ValidationResult",

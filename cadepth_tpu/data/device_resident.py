@@ -1,0 +1,266 @@
+"""Device-resident data path: the whole dataset lives in HBM.
+
+The classic TPU feeding pattern for datasets that fit on-chip: upload
+the packed dataset ONCE, then every training batch is a device-side
+gather (plus, optionally, on-device augmentation) inside one jitted
+program. The only per-step host->device traffic is the (B,) int32
+index vector — bytes, not megabytes. This sidesteps host decode, host
+augmentation, AND the per-step H2D transfer entirely (on some runtimes
+transfers serialize behind enqueued programs — see PERF_NOTES.md
+"Fed-loop pathology").
+
+Capacity: SUN RGB-D at 240x320 is ~1.2 MB/sample fp32 (~12 GB for all
+10,335 images; ~6 GB as bf16 RGB) — fits one v5e chip's 16 GB HBM next
+to the baseline model. 480x640 packs need sharding across a mesh or
+the host pipeline.
+
+On-device augmentation reproduces the host loader's semantics
+(`sunrgbd.py _augment_sample/_resize_sample`, themselves parity with
+`sunrgbd_loader.cpp:352-489`): random crop + resize-back (bilinear RGB
+with the align_corners=False rule, nearest depth with the legacy
+floor rule), horizontal flip, brightness/contrast jitter, with the
+same camera-consistent intrinsics updates — including the reference's
+crop-offset quirk (the `max(1, W-cw)+1` upper bound lets a full-size
+crop start at 1 and get clamped). Randomness comes from
+`jax.random.fold_in(seed, epoch) -> fold_in(index)` streams: the same
+(seed, epoch, index) determinism contract as the host loader, but not
+bit-identical draws (numpy PCG64 vs threefry).
+
+Crop+flip+resize compile to per-sample interpolation-matrix GEMMs
+(MXU), not gathers — the same trick as `ops/affine_warp.py`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cadepth_tpu.data.sunrgbd import AugmentationConfig
+
+
+def _k4(k: jax.Array) -> jax.Array:
+    return jnp.stack([k[:, 0, 0], k[:, 1, 1], k[:, 0, 2], k[:, 1, 2]], -1)
+
+
+def _axis_matrices(out_size: int, crop0, crop_len, flip):
+    """Per-sample (out, in) bilinear tent + nearest one-hot matrices for
+    one axis of a crop->(flip)->resize-back composition.
+
+    crop0/crop_len are traced floats (whole-valued); flip is a traced
+    bool. Bilinear rule: src = clip((dst+0.5)*crop_len/out - 0.5,
+    0, crop_len-1); nearest rule: src = min(floor(dst*crop_len/out),
+    crop_len-1) — matching ops/resize.py (torch/cv2 conventions). A
+    flip mirrors the position within the crop before the global offset.
+    """
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    scale = crop_len / out_size
+    # bilinear
+    u = jnp.clip((dst + 0.5) * scale - 0.5, 0.0, crop_len - 1.0)
+    u = jnp.where(flip, (crop_len - 1.0) - u, u)
+    u = u + crop0
+    lo = jnp.floor(u)
+    w_hi = u - lo
+    hi = jnp.minimum(lo + 1.0, out_size - 1.0)
+    src = jnp.arange(out_size, dtype=jnp.float32)[None, :]
+    tent = ((src == lo[:, None]) * (1.0 - w_hi)[:, None]
+            + (src == hi[:, None]) * w_hi[:, None])
+    # nearest
+    n = jnp.minimum(jnp.floor(dst * scale), crop_len - 1.0)
+    n = jnp.where(flip, (crop_len - 1.0) - n, n)
+    n = n + crop0
+    onehot = (src == n[:, None]).astype(jnp.float32)
+    return tent.astype(jnp.float32), onehot
+
+
+def _augment_one(rgb, depth, k, key, height, width, cfg: AugmentationConfig):
+    """On-device equivalent of the host `_augment_sample` + resize-back
+    tail for one sample. Returns (rgb, depth, k) at (height, width)."""
+    k_scale, k_cx, k_cy, k_flip, k_b, k_c = jax.random.split(key, 6)
+    h = jnp.float32(height)
+    w = jnp.float32(width)
+
+    if cfg.enable_random_crop:
+        scale = jax.random.uniform(
+            k_scale, (), jnp.float32, cfg.crop_scale_min, cfg.crop_scale_max)
+        ch = jnp.floor(h * scale)
+        cw = jnp.floor(w * scale)
+        # host: integers(0, max(1, W-cw)+1) then slice-clamp (quirk kept)
+        ux = jnp.floor(jax.random.uniform(k_cx, ())
+                       * (jnp.maximum(1.0, w - cw) + 1.0))
+        uy = jnp.floor(jax.random.uniform(k_cy, ())
+                       * (jnp.maximum(1.0, h - ch) + 1.0))
+        cw_eff = jnp.minimum(cw, w - ux)
+        ch_eff = jnp.minimum(ch, h - uy)
+    else:
+        ux = uy = jnp.float32(0.0)
+        cw_eff, ch_eff = w, h
+
+    if cfg.enable_horizontal_flip:
+        flip = jax.random.uniform(k_flip, ()) < cfg.horizontal_flip_prob
+    else:
+        flip = jnp.asarray(False)
+
+    # jitter BEFORE the resample, as the host clips at crop resolution
+    # (clip does not commute with interpolation)
+    if cfg.enable_color_jitter:
+        brightness = jax.random.uniform(
+            k_b, (), jnp.float32,
+            1.0 - cfg.brightness_delta, 1.0 + cfg.brightness_delta)
+        contrast = jax.random.uniform(
+            k_c, (), jnp.float32,
+            1.0 - cfg.contrast_delta, 1.0 + cfg.contrast_delta)
+        rgb = jnp.clip(rgb * contrast + brightness - 1.0, 0.0, 1.0)
+
+    tent_w, near_w = _axis_matrices(width, ux, cw_eff, flip)
+    tent_h, near_h = _axis_matrices(height, uy, ch_eff, jnp.asarray(False))
+    # rows then columns; precision=highest keeps fp32 interpolation
+    # exact on the MXU (ops/resize.py discipline)
+    rgb = jnp.einsum("oh,hwc->owc", tent_h, rgb.astype(jnp.float32),
+                     precision="highest")
+    rgb = jnp.einsum("pw,owc->opc", tent_w, rgb, precision="highest")
+    depth = jnp.einsum("oh,hwc->owc", near_h, depth.astype(jnp.float32),
+                       precision="highest")
+    depth = jnp.einsum("pw,owc->opc", near_w, depth, precision="highest")
+
+    # camera-consistent K updates, in host order (crop -> flip -> resize)
+    fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    cx = cx - ux
+    cy = cy - uy
+    cx = jnp.where(flip, cw_eff - cx - 1.0, cx)
+    sx = w / cw_eff
+    sy = h / ch_eff
+    k = k.at[0, 0].set(fx * sx)
+    k = k.at[1, 1].set(fy * sy)
+    k = k.at[0, 2].set(cx * sx)
+    k = k.at[1, 2].set(cy * sy)
+    return rgb, depth, k
+
+
+class DeviceDataset:
+    """A packed split resident in device memory with jitted batching.
+
+    Built from a :class:`~cadepth_tpu.data.packed.PackedSunRGBDLoader`
+    whose target dims equal the pack dims (the pack already stores the
+    post-first-resize state). Rays are never stored — batches follow
+    the ``rays_on_device`` contract (the jitted train/eval steps derive
+    the grid from K).
+    """
+
+    def __init__(self, loader, rgb_dtype=jnp.float32,
+                 depth_dtype=jnp.float32, sharding=None):
+        if (loader.target_height, loader.target_width) != \
+                tuple(loader._rgb.shape[1:3]):
+            raise ValueError(
+                "DeviceDataset needs a pack at the target resolution "
+                f"(pack {tuple(loader._rgb.shape[1:3])} vs target "
+                f"({loader.target_height}, {loader.target_width})); "
+                "re-pack with cli/pack_dataset.py --height/--width")
+        rows = [s["row"] for s in loader.sample_paths]
+        self.height = loader.target_height
+        self.width = loader.target_width
+        self.aug_config = loader.aug_config
+        self.augmentation_enabled = loader.augmentation_enabled
+        self.split = loader.split
+        self.rows = tuple(rows)
+        self._sharding = sharding
+        self.rgb = jax.device_put(
+            np.asarray(loader._rgb[rows]).astype(rgb_dtype))
+        self.depth = jax.device_put(
+            np.asarray(loader._depth[rows]).astype(depth_dtype))
+        self.k = jax.device_put(
+            np.asarray(loader._intrinsics[rows], dtype=np.float32))
+        self._gather = jax.jit(self._make_batch, static_argnames=("augment",))
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def nbytes(self) -> int:
+        return self.rgb.nbytes + self.depth.nbytes + self.k.nbytes
+
+    # -- jitted batch assembly ------------------------------------------
+
+    def _make_batch(self, indices: jax.Array, epoch: jax.Array,
+                    augment: bool) -> Dict[str, jax.Array]:
+        rgb = jnp.take(self.rgb, indices, 0).astype(jnp.float32)
+        depth = jnp.take(self.depth, indices, 0).astype(jnp.float32)
+        k = jnp.take(self.k, indices, 0)
+        if augment:
+            cfg = self.aug_config
+            base = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.random_seed), epoch)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(indices)
+            rgb, depth, k = jax.vmap(
+                functools.partial(_augment_one, height=self.height,
+                                  width=self.width, cfg=cfg)
+            )(rgb, depth, k, keys)
+        batch = {"rgb": rgb, "depth": depth, "intrinsics": k, "k4": _k4(k)}
+        if self._sharding is not None:
+            sh = self._sharding
+            batch = {key: jax.lax.with_sharding_constraint(
+                v, sh.get(key) if isinstance(sh, dict) else sh)
+                for key, v in batch.items()}
+        return batch
+
+    # -- epoch iteration -------------------------------------------------
+
+    def batches(self, batch_size: int, *, shuffle: bool = True,
+                seed: int = 0, epoch: int = 0, augment: bool = False,
+                drop_remainder: bool = True,
+                max_samples: Optional[int] = None,
+                ) -> Iterator[Dict[str, jax.Array]]:
+        """One epoch of device batches; same ordering contract as
+        InputPipeline (per-epoch reshuffle keyed on (seed, epoch))."""
+        n = len(self.rows)
+        if max_samples is not None:
+            n = min(n, max_samples)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng([seed, epoch]).shuffle(order)
+        num = n // batch_size if drop_remainder else -(-n // batch_size)
+        ep = jnp.int32(epoch)
+        for b in range(num):
+            idx = order[b * batch_size:(b + 1) * batch_size]
+            if len(idx) < batch_size:  # pad tail by repeating (rare path)
+                idx = np.concatenate([idx, order[:batch_size - len(idx)]])
+            yield self._gather(jnp.asarray(idx, jnp.int32), ep,
+                               augment=augment)
+
+
+class DevicePipeline:
+    """InputPipeline-compatible facade over a :class:`DeviceDataset`
+    (``__len__`` = batches/epoch, ``__iter__`` advances the epoch)."""
+
+    def __init__(self, dataset: DeviceDataset, batch_size: int, *,
+                 shuffle: bool, seed: int = 0,
+                 max_samples: Optional[int] = None,
+                 drop_remainder: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.max_samples = max_samples
+        self.drop_remainder = drop_remainder
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.max_samples is not None:
+            n = min(n, self.max_samples)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        augment = (self.dataset.augmentation_enabled
+                   and self.dataset.split == "train")
+        it = self.dataset.batches(
+            self.batch_size, shuffle=self.shuffle, seed=self.seed,
+            epoch=self._epoch, augment=augment,
+            drop_remainder=self.drop_remainder,
+            max_samples=self.max_samples)
+        self._epoch += 1
+        return it

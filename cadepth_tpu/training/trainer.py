@@ -130,6 +130,57 @@ class Trainer:
 
         # -- pipelines
         debug_limits = getattr(cfg, "_debug_limits", None) or {}
+        if cfg.data.device_resident:
+            self._build_device_pipes(debug_limits)
+        else:
+            self._build_host_pipes(debug_limits)
+        self._finish_init()
+
+    def _build_device_pipes(self, debug_limits) -> None:
+        """HBM-resident dataset + jitted batching (data.device_resident).
+
+        Requires a pack at the target resolution; the train/val splits
+        share one upload when their filtered rows coincide (the default
+        non-filtering quirk makes them identical)."""
+        import jax.numpy as jnp
+
+        from cadepth_tpu.data.device_resident import (
+            DeviceDataset,
+            DevicePipeline,
+        )
+        from cadepth_tpu.data.packed import PackedSunRGBDLoader
+
+        cfg = self.cfg
+        if not isinstance(self.train_loader, PackedSunRGBDLoader):
+            raise ValueError(
+                "data.device_resident needs data.packed_dir (build one "
+                "with cli/pack_dataset.py)")
+        dtype = (jnp.bfloat16 if cfg.data.device_resident_dtype == "bfloat16"
+                 else jnp.float32)
+        train_ds = DeviceDataset(self.train_loader, rgb_dtype=dtype,
+                                 depth_dtype=dtype,
+                                 sharding=self.data_sharding)
+        if [s["row"] for s in self.val_loader.sample_paths] == list(train_ds.rows):
+            val_ds = DeviceDataset.__new__(DeviceDataset)
+            val_ds.__dict__.update(train_ds.__dict__)
+            val_ds.split = self.val_loader.split
+            val_ds.augmentation_enabled = self.val_loader.augmentation_enabled
+        else:
+            val_ds = DeviceDataset(self.val_loader, rgb_dtype=dtype,
+                                   depth_dtype=dtype,
+                                   sharding=self.data_sharding)
+        self.train_pipe = DevicePipeline(
+            train_ds, cfg.training.batch_size, shuffle=True,
+            seed=cfg.experiment.seed,
+            max_samples=debug_limits.get("num_train_samples"))
+        self.val_pipe = DevicePipeline(
+            val_ds, cfg.training.batch_size, shuffle=False,
+            seed=cfg.experiment.seed,
+            max_samples=debug_limits.get(
+                "num_val_samples", cfg.training.max_val_samples))
+
+    def _build_host_pipes(self, debug_limits) -> None:
+        cfg = self.cfg
         self.train_pipe = InputPipeline(
             self.train_loader, cfg.training.batch_size, shuffle=True,
             seed=cfg.experiment.seed, num_threads=max(cfg.training.num_workers, 1),
@@ -150,6 +201,8 @@ class Trainer:
                 "num_val_samples", cfg.training.max_val_samples),
             use_native=cfg.data.use_native_loader)
 
+    def _finish_init(self) -> None:
+        cfg = self.cfg
         # -- model / optimizer / steps
         self.model, self.loss_fn = build_model_and_loss(cfg)
         # With grad accumulation the schedule advances only on effective

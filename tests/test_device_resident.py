@@ -1,0 +1,166 @@
+"""Device-resident data path: HBM gather parity, on-device augmentation
+vs a host cv2 oracle fed identical draws, and trainer integration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cadepth_tpu.data import (
+    DeviceDataset,
+    DevicePipeline,
+    PackedSunRGBDLoader,
+    generate_synthetic_dataset,
+    pack_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def pack_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("devres")
+    manifest = generate_synthetic_dataset(
+        str(root), images_per_sensor=3, seed=11,
+        sensor_specs={s: (64, 48, 64, 48)
+                      for s in ("kv1", "kv2", "realsense", "xtion")})
+    out = root / "packed"
+    pack_dataset(f"{root}/sunrgbd", manifest, str(out),
+                 target_height=48, target_width=64, num_threads=4)
+    return str(out)
+
+
+def make_ds(pack_dir, split="train", **kw):
+    loader = PackedSunRGBDLoader(pack_dir, split=split, compute_rays=True,
+                                 rays_on_device=True)
+    return loader, DeviceDataset(loader, **kw)
+
+
+def test_no_aug_batches_match_fast_batch(pack_dir):
+    loader, ds = make_ds(pack_dir)
+    idx = [5, 2, 9, 0]
+    got = ds._gather(jnp.asarray(idx, jnp.int32), jnp.int32(0), augment=False)
+    want = loader.fast_batch(idx)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), want[k],
+                                   rtol=0, atol=0)
+
+
+def test_epoch_iteration_contract(pack_dir):
+    _, ds = make_ds(pack_dir)
+    pipe = DevicePipeline(ds, batch_size=4, shuffle=True, seed=3)
+    assert len(pipe) == len(ds) // 4
+    e0 = [np.asarray(b["rgb"]) for b in pipe]
+    e1 = [np.asarray(b["rgb"]) for b in pipe]
+    assert len(e0) == len(pipe)
+    # different epochs shuffle differently
+    assert not all(np.array_equal(a, b) for a, b in zip(e0, e1))
+    # same (seed, epoch) is deterministic
+    pipe2 = DevicePipeline(ds, batch_size=4, shuffle=True, seed=3)
+    e0b = [np.asarray(b["rgb"]) for b in pipe2]
+    for a, b in zip(e0, e0b):
+        np.testing.assert_array_equal(a, b)
+
+
+def _host_oracle(rgb, depth, k, key, cfg):
+    """Numpy/cv2 reimplementation of the host augment+resize tail, fed
+    the SAME threefry draws as the device path."""
+    import cv2
+
+    H, W = rgb.shape[:2]
+    ks = jax.random.split(key, 6)
+    scale = float(jax.random.uniform(ks[0], (), jnp.float32,
+                                     cfg.crop_scale_min, cfg.crop_scale_max))
+    ch, cw = int(np.floor(H * scale)), int(np.floor(W * scale))
+    ux = int(np.floor(float(jax.random.uniform(ks[1], ()))
+                      * (max(1, W - cw) + 1)))
+    uy = int(np.floor(float(jax.random.uniform(ks[2], ()))
+                      * (max(1, H - ch) + 1)))
+    flip = float(jax.random.uniform(ks[3], ())) < cfg.horizontal_flip_prob
+    brightness = float(jax.random.uniform(
+        ks[4], (), jnp.float32,
+        1.0 - cfg.brightness_delta, 1.0 + cfg.brightness_delta))
+    contrast = float(jax.random.uniform(
+        ks[5], (), jnp.float32,
+        1.0 - cfg.contrast_delta, 1.0 + cfg.contrast_delta))
+
+    # host order: crop -> flip -> jitter -> resize back (sunrgbd.py)
+    rgb = rgb[uy:uy + ch, ux:ux + cw]
+    depth = depth[uy:uy + ch, ux:ux + cw]
+    k = k.copy()
+    k[0, 2] -= ux
+    k[1, 2] -= uy
+    if flip:
+        rgb = np.ascontiguousarray(rgb[:, ::-1])
+        depth = np.ascontiguousarray(depth[:, ::-1])
+        k[0, 2] = rgb.shape[1] - k[0, 2] - 1
+    rgb = np.clip(rgb * contrast + brightness - 1.0, 0.0, 1.0)
+    sx, sy = W / rgb.shape[1], H / rgb.shape[0]
+    rgb = cv2.resize(rgb, (W, H), interpolation=cv2.INTER_LINEAR)
+    depth = cv2.resize(depth[..., 0], (W, H),
+                       interpolation=cv2.INTER_NEAREST)[..., None]
+    k[0, 0] *= sx
+    k[1, 1] *= sy
+    k[0, 2] *= sx
+    k[1, 2] *= sy
+    return rgb, depth, k
+
+
+def test_on_device_augment_matches_host_oracle(pack_dir):
+    loader, ds = make_ds(pack_dir)
+    loader.enable_augmentation(loader.aug_config)
+    cfg = ds.aug_config
+    idx = list(range(8))
+    for epoch in (0, 3):
+        got = ds._gather(jnp.asarray(idx, jnp.int32), jnp.int32(epoch),
+                         augment=True)
+        base = jax.random.fold_in(jax.random.PRNGKey(cfg.random_seed), epoch)
+        for j, i in enumerate(idx):
+            key = jax.random.fold_in(base, i)
+            rgb0 = np.asarray(loader._rgb[loader.sample_paths[i]["row"]],
+                              np.float32)
+            depth0 = np.asarray(loader._depth[loader.sample_paths[i]["row"]],
+                                np.float32)
+            k0 = np.asarray(loader._intrinsics[loader.sample_paths[i]["row"]],
+                            np.float32)
+            rgb, depth, k = _host_oracle(rgb0, depth0, k0, key, cfg)
+            np.testing.assert_allclose(np.asarray(got["rgb"][j]), rgb,
+                                       atol=2e-5, rtol=0)
+            np.testing.assert_array_equal(np.asarray(got["depth"][j]), depth)
+            np.testing.assert_allclose(np.asarray(got["intrinsics"][j]), k,
+                                       atol=1e-4, rtol=0)
+
+
+def test_device_resident_trainer_smoke(pack_dir, tmp_path):
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.training.trainer import Trainer
+
+    cfg = config_from_dict({
+        "experiment": {"name": "devres_smoke", "seed": 0},
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+        "data": {"packed_dir": pack_dir, "device_resident": True,
+                 "input_height": 48, "input_width": 64,
+                 "compute_rays": True,
+                 "augmentation": {"random_crop": True,
+                                  "horizontal_flip": True,
+                                  "color_jitter": True}},
+        "training": {"batch_size": 4, "num_epochs": 2, "use_amp": True},
+        "optimization": {"learning_rate": 1e-3, "lr_scheduler": "none",
+                         "lr_warmup_epochs": 0},
+        "checkpointing": {"checkpoint_dir": str(tmp_path / "ckpt")},
+        "logging": {"log_dir": str(tmp_path / "logs"),
+                    "tensorboard": {"enabled": False}},
+        "validation": {"interval": 1},
+    })
+    tr = Trainer(cfg)
+    assert isinstance(tr.train_pipe, DevicePipeline)
+    # train/val share one HBM upload under the non-filtering quirk
+    assert tr.train_pipe.dataset.rgb is tr.val_pipe.dataset.rgb
+    tr.train()
+    assert np.isfinite(tr.best_metric)
+
+
+def test_device_resident_requires_pack_resolution(pack_dir):
+    loader = PackedSunRGBDLoader(pack_dir, split="train", target_height=32,
+                                 target_width=32, rays_on_device=True)
+    with pytest.raises(ValueError, match="target resolution"):
+        DeviceDataset(loader)
