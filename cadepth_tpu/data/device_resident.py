@@ -151,7 +151,8 @@ class DeviceDataset:
     """
 
     def __init__(self, loader, rgb_dtype=jnp.float32,
-                 depth_dtype=jnp.float32, sharding=None):
+                 depth_dtype=jnp.float32, sharding=None,
+                 mesh=None, mesh_axis: str = "data"):
         if (loader.target_height, loader.target_width) != \
                 tuple(loader._rgb.shape[1:3]):
             raise ValueError(
@@ -167,19 +168,64 @@ class DeviceDataset:
         self.split = loader.split
         self.rows = tuple(rows)
         self._sharding = sharding
-        self.rgb = jax.device_put(
-            np.asarray(loader._rgb[rows]).astype(rgb_dtype))
-        self.depth = jax.device_put(
-            np.asarray(loader._depth[rows]).astype(depth_dtype))
-        self.k = jax.device_put(
-            np.asarray(loader._intrinsics[rows], dtype=np.float32))
-        self._gather = jax.jit(self._make_batch, static_argnames=("augment",))
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+        rgb = np.asarray(loader._rgb[rows]).astype(rgb_dtype)
+        depth = np.asarray(loader._depth[rows]).astype(depth_dtype)
+        k = np.asarray(loader._intrinsics[rows], dtype=np.float32)
+        if mesh is None:
+            put = jax.device_put
+            self.n_shards = 1
+            self.shard_size = len(rows)
+        else:
+            # Sharded mode: each device along `mesh_axis` holds an equal
+            # slice of the samples axis (pad by wraparound; the sampler
+            # never draws pad rows). Multi-chip capacity scales linearly:
+            # a 480x640 fp32 SUN RGB-D pack (~31 GB) is ~3.9 GB/chip on a
+            # v5e-8 slice.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.n_shards = mesh.shape[mesh_axis]
+            self.shard_size = -(-len(rows) // self.n_shards)
+            pad = self.n_shards * self.shard_size - len(rows)
+            if pad:
+                sel = np.arange(pad) % len(rows)
+                rgb = np.concatenate([rgb, rgb[sel]])
+                depth = np.concatenate([depth, depth[sel]])
+                k = np.concatenate([k, k[sel]])
+            spec = PartitionSpec(mesh_axis)
+
+            def put(arr):
+                return jax.device_put(arr, NamedSharding(mesh, spec))
+        self.rgb = put(rgb)
+        self.depth = put(depth)
+        self.k = put(k)
+        if mesh is None:
+            self._gather = jax.jit(self._make_batch,
+                                   static_argnames=("augment",))
+        else:
+            self._gather = self._build_sharded_gather()
 
     def __len__(self) -> int:
         return len(self.rows)
 
     def nbytes(self) -> int:
         return self.rgb.nbytes + self.depth.nbytes + self.k.nbytes
+
+    def batches_per_epoch(self, batch_size: int,
+                          max_samples: Optional[int] = None,
+                          drop_remainder: bool = True) -> int:
+        n = len(self.rows)
+        if max_samples is not None:
+            n = min(n, max_samples)
+        if self.mesh is None:
+            return (n // batch_size if drop_remainder
+                    else -(-n // batch_size))
+        b_local = batch_size // self.n_shards
+        S = self.shard_size
+        valid_min = min(max(0, min(n - d * S, S))
+                        for d in range(self.n_shards))
+        return valid_min // max(b_local, 1)
 
     # -- jitted batch assembly ------------------------------------------
 
@@ -205,6 +251,54 @@ class DeviceDataset:
                 for key, v in batch.items()}
         return batch
 
+    def _build_sharded_gather(self):
+        """shard_map gather: each device takes its local index slice from
+        its local dataset shard — no collectives, batch comes out sharded
+        along the batch axis. Augmentation keys use the PADDED global row
+        id (axis_index * shard_size + local index)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh_axis
+        shard_size = self.shard_size
+        cfg = self.aug_config
+        height, width = self.height, self.width
+
+        def build(augment: bool):
+            def local(rgb_s, depth_s, k_s, idx_l, epoch):
+                rgb = jnp.take(rgb_s, idx_l, 0).astype(jnp.float32)
+                depth = jnp.take(depth_s, idx_l, 0).astype(jnp.float32)
+                k = jnp.take(k_s, idx_l, 0)
+                if augment:
+                    gid = (jax.lax.axis_index(axis) * shard_size
+                           + idx_l).astype(jnp.int32)
+                    base = jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.random_seed), epoch[0])
+                    keys = jax.vmap(
+                        lambda i: jax.random.fold_in(base, i))(gid)
+                    rgb, depth, k = jax.vmap(
+                        functools.partial(_augment_one, height=height,
+                                          width=width, cfg=cfg)
+                    )(rgb, depth, k, keys)
+                return {"rgb": rgb, "depth": depth, "intrinsics": k,
+                        "k4": _k4(k)}
+
+            return jax.jit(shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+                out_specs=P(axis),
+                check_rep=False))
+
+        gathers = {False: None, True: None}
+
+        def gather(indices, epoch, augment):
+            if gathers[augment] is None:
+                gathers[augment] = build(augment)
+            return gathers[augment](self.rgb, self.depth, self.k, indices,
+                                    jnp.reshape(epoch, (1,)))
+
+        return gather
+
     # -- epoch iteration -------------------------------------------------
 
     def batches(self, batch_size: int, *, shuffle: bool = True,
@@ -213,7 +307,16 @@ class DeviceDataset:
                 max_samples: Optional[int] = None,
                 ) -> Iterator[Dict[str, jax.Array]]:
         """One epoch of device batches; same ordering contract as
-        InputPipeline (per-epoch reshuffle keyed on (seed, epoch))."""
+        InputPipeline (per-epoch reshuffle keyed on (seed, epoch)).
+
+        Sharded mode samples each device's shard independently (every
+        real sample still appears exactly once per epoch; the order is
+        stratified by shard instead of globally mixed)."""
+        ep = jnp.int32(epoch)
+        if self.mesh is not None:
+            yield from self._sharded_batches(batch_size, shuffle, seed,
+                                             epoch, augment, max_samples)
+            return
         n = len(self.rows)
         if max_samples is not None:
             n = min(n, max_samples)
@@ -221,13 +324,39 @@ class DeviceDataset:
         if shuffle:
             np.random.default_rng([seed, epoch]).shuffle(order)
         num = n // batch_size if drop_remainder else -(-n // batch_size)
-        ep = jnp.int32(epoch)
         for b in range(num):
             idx = order[b * batch_size:(b + 1) * batch_size]
             if len(idx) < batch_size:  # pad tail by repeating (rare path)
                 idx = np.concatenate([idx, order[:batch_size - len(idx)]])
             yield self._gather(jnp.asarray(idx, jnp.int32), ep,
                                augment=augment)
+
+    def _sharded_batches(self, batch_size, shuffle, seed, epoch, augment,
+                         max_samples):
+        n_sh, S = self.n_shards, self.shard_size
+        if batch_size % n_sh != 0:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"{n_sh} dataset shards")
+        b_local = batch_size // n_sh
+        n_total = len(self.rows)
+        if max_samples is not None:
+            n_total = min(n_total, max_samples)
+        rng = np.random.default_rng([seed, epoch])
+        perms = []
+        valid_min = None
+        for d in range(n_sh):
+            # shard d holds padded rows [d*S, (d+1)*S); exclude pad rows
+            # (and rows beyond max_samples) from sampling
+            valid = max(0, min(n_total - d * S, S))
+            perm = rng.permutation(valid) if shuffle else np.arange(valid)
+            perms.append(perm)
+            valid_min = valid if valid_min is None else min(valid_min, valid)
+        num = valid_min // b_local
+        ep = jnp.int32(epoch)
+        for t in range(num):
+            idx = np.concatenate([p[t * b_local:(t + 1) * b_local]
+                                  for p in perms]).astype(np.int32)
+            yield self._gather(jnp.asarray(idx), ep, augment=augment)
 
 
 class DevicePipeline:
@@ -247,12 +376,8 @@ class DevicePipeline:
         self._epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset)
-        if self.max_samples is not None:
-            n = min(n, self.max_samples)
-        if self.drop_remainder:
-            return n // self.batch_size
-        return -(-n // self.batch_size)
+        return self.dataset.batches_per_epoch(
+            self.batch_size, self.max_samples, self.drop_remainder)
 
     def __iter__(self):
         augment = (self.dataset.augmentation_enabled

@@ -157,18 +157,22 @@ class Trainer:
                 "with cli/pack_dataset.py)")
         dtype = (jnp.bfloat16 if cfg.data.device_resident_dtype == "bfloat16"
                  else jnp.float32)
-        train_ds = DeviceDataset(self.train_loader, rgb_dtype=dtype,
-                                 depth_dtype=dtype,
-                                 sharding=self.data_sharding)
+        # Under a mesh the dataset itself is sharded along the data axis
+        # (each chip holds len/n samples and gathers locally); otherwise
+        # one device holds everything.
+        ds_kw = dict(rgb_dtype=dtype, depth_dtype=dtype, mesh=self.mesh,
+                     sharding=None if self.mesh is not None
+                     else self.data_sharding)
+        if self.mesh is not None:
+            ds_kw["mesh_axis"] = self.mesh.axis_names[0]
+        train_ds = DeviceDataset(self.train_loader, **ds_kw)
         if [s["row"] for s in self.val_loader.sample_paths] == list(train_ds.rows):
             val_ds = DeviceDataset.__new__(DeviceDataset)
             val_ds.__dict__.update(train_ds.__dict__)
             val_ds.split = self.val_loader.split
             val_ds.augmentation_enabled = self.val_loader.augmentation_enabled
         else:
-            val_ds = DeviceDataset(self.val_loader, rgb_dtype=dtype,
-                                   depth_dtype=dtype,
-                                   sharding=self.data_sharding)
+            val_ds = DeviceDataset(self.val_loader, **ds_kw)
         self.train_pipe = DevicePipeline(
             train_ds, cfg.training.batch_size, shuffle=True,
             seed=cfg.experiment.seed,
