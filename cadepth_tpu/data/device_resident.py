@@ -256,7 +256,7 @@ class DeviceDataset:
         its local dataset shard — no collectives, batch comes out sharded
         along the batch axis. Augmentation keys use the PADDED global row
         id (axis_index * shard_size + local index)."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         axis = self.mesh_axis
@@ -286,8 +286,7 @@ class DeviceDataset:
             return jax.jit(shard_map(
                 local, mesh=self.mesh,
                 in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-                out_specs=P(axis),
-                check_rep=False))
+                out_specs=P(axis)))
 
         gathers = {False: None, True: None}
 

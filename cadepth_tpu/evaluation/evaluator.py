@@ -74,17 +74,48 @@ class ModelEvaluator:
         self.predict_fn = make_predict_fn(cfg, model)
 
     def evaluate(self, loader: SunRGBDLoader,
-                 max_samples: Optional[int] = None) -> EvaluationResult:
+                 max_samples: Optional[int] = None,
+                 device_resident: bool = False) -> EvaluationResult:
         """Warmup, timed per-batch inference, per-sample metrics
-        (`evaluator.h:142-226,281-302`)."""
-        ecfg = self.eval_cfg
-        pipe = InputPipeline(loader, batch_size=max(ecfg.batch_size, 1),
-                             shuffle=False, drop_remainder=False,
-                             max_samples=max_samples)
+        (`evaluator.h:142-226,281-302`).
 
-        # Warmup (evaluator.h:154-157): compile + spin the device.
-        warm = jax.device_put(loader.get_batch(
-            range(min(ecfg.batch_size, len(loader)))))
+        ``device_resident`` uploads the (packed) dataset to HBM once and
+        sweeps it with on-device gathers — same exact full sweep, no
+        per-batch host->device image transfer."""
+        ecfg = self.eval_cfg
+        bsz = max(ecfg.batch_size, 1)
+        if device_resident:
+            from cadepth_tpu.data.device_resident import DeviceDataset
+
+            ds = DeviceDataset(loader)
+            n = len(loader) if max_samples is None \
+                else min(len(loader), max_samples)
+
+            def device_sweep():
+                import jax.numpy as jnp
+
+                ep = jnp.int32(0)
+                for s in range(0, n, bsz):
+                    idx = np.arange(s, min(s + bsz, n))
+                    valid = len(idx)
+                    if valid < bsz:  # pad the gather, trim the outputs
+                        idx = np.concatenate(
+                            [idx, np.zeros(bsz - valid, np.int64)])
+                    b = ds._gather(jnp.asarray(idx, jnp.int32), ep,
+                                   augment=False)
+                    yield ({k: v[:valid] for k, v in b.items()}
+                           if valid < bsz else b)
+
+            pipe = device_sweep()
+            warm = ds._gather(
+                np.arange(min(bsz, n), dtype=np.int32), 0, augment=False)
+        else:
+            pipe = InputPipeline(loader, batch_size=bsz,
+                                 shuffle=False, drop_remainder=False,
+                                 max_samples=max_samples)
+            # Warmup (evaluator.h:154-157): compile + spin the device.
+            warm = jax.device_put(loader.get_batch(
+                range(min(bsz, len(loader)))))
         for _ in range(ecfg.warmup_iterations):
             jax.block_until_ready(self.predict_fn(self.state, warm))
 

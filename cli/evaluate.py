@@ -111,7 +111,9 @@ def main(argv=None) -> int:
         batch_size=args.batch_size or 1,
         colormap=args.colormap))
     result = evaluator.evaluate(
-        loader, max_samples=args.max_samples or None)
+        loader, max_samples=args.max_samples or None,
+        device_resident=bool(cfg.data.device_resident and
+                             cfg.data.packed_dir))
 
     out_dir = Path(args.output)
     out_dir.mkdir(parents=True, exist_ok=True)

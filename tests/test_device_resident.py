@@ -216,6 +216,55 @@ def test_sharded_device_dataset_augment_runs(pack_dir):
     np.testing.assert_array_equal(rgb, again)
 
 
+def test_sharded_device_dataset_2d_mesh(pack_dir):
+    """data x space mesh: samples shard along 'data', replicate along
+    'space'; gathered batches match the pack."""
+    from cadepth_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(8, spatial=2)  # (4, 2) data x space
+    loader = PackedSunRGBDLoader(pack_dir, split="train", compute_rays=True,
+                                 rays_on_device=True)
+    ds = DeviceDataset(loader, mesh=mesh)
+    assert ds.n_shards == 4
+    b = next(iter(ds.batches(8, shuffle=False, epoch=0)))
+    src = np.stack([np.asarray(loader._rgb[s["row"]], np.float32)
+                    for s in loader.sample_paths])
+    S, n = ds.shard_size, len(loader)
+    rows = [min(d * S + j, (d * S + j) % n if d * S + j >= n else d * S + j)
+            for d in range(4) for j in range(2)]
+    np.testing.assert_array_equal(np.asarray(b["rgb"]), src[rows])
+
+
+def test_evaluator_device_resident_sweep_matches_host(pack_dir, tmp_path):
+    """Device-resident eval sweep = host-pipe sweep, per sample, incl.
+    the trimmed ragged tail batch."""
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.evaluation import EvaluationConfig, ModelEvaluator
+    from cadepth_tpu.training import build_optimizer, create_train_state
+    from cadepth_tpu.training.train_state import build_model_and_loss
+
+    cfg = config_from_dict({
+        "data": {"input_height": 48, "input_width": 64,
+                 "compute_rays": True},
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+    })
+    loader = PackedSunRGBDLoader(pack_dir, split="test", compute_rays=True,
+                                 rays_on_device=True)
+    model, _ = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization, lambda s: 1e-4)
+    batch = jax.device_put(loader.get_batch([0, 1]))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    evaluator = ModelEvaluator(cfg, model, state,
+                               EvaluationConfig(warmup_iterations=1,
+                                                batch_size=5))  # 12 % 5 != 0
+    host = evaluator.evaluate(loader)
+    dev = evaluator.evaluate(loader, device_resident=True)
+    assert dev.num_samples == host.num_samples == len(loader)
+    for a, b in zip(host.per_sample, dev.per_sample):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
+
+
 def test_device_resident_requires_pack_resolution(pack_dir):
     loader = PackedSunRGBDLoader(pack_dir, split="train", target_height=32,
                                  target_width=32, rays_on_device=True)
