@@ -164,6 +164,8 @@ class CheckpointConfig:
     resume_from: str = ""
     async_save: bool = False  # overlap checkpoint IO with the next epoch
     #                           (finalized before the next save/restore)
+    save_on_preemption: bool = True  # SIGTERM -> checkpoint + clean exit
+    #                                  (cloud TPU-VM preemption safety)
 
 
 @dataclasses.dataclass
@@ -376,6 +378,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         keep_last_n=int(c.get("keep_last_n", 3)),
         resume_from=c.get("resume_from", ""),
         async_save=bool(c.get("async_save", False)),
+        save_on_preemption=bool(c.get("save_on_preemption", True)),
     )
 
     e = raw.get("early_stopping", {})

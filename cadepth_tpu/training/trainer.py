@@ -259,6 +259,26 @@ class Trainer:
         # ones (no separate throwaway epoch).
         self.profile_dir: Optional[str] = None
 
+        # -- preemption safety: on SIGTERM (the preemption signal on
+        # cloud TPU-VMs) finish the in-flight batch, checkpoint, and
+        # exit cleanly so --resume latest continues where it stopped.
+        # (The reference has no notion of this; torch::save only runs on
+        # its schedule.)
+        self._preempted = False
+        self._orig_sigterm = None
+        if cfg.checkpointing.save_on_preemption:
+            import signal
+            import threading
+
+            def _on_sigterm(signum, frame):
+                self._preempted = True
+                self.log("SIGTERM received; checkpointing at the next "
+                         "batch boundary")
+
+            if threading.current_thread() is threading.main_thread():
+                self._orig_sigterm = signal.signal(signal.SIGTERM,
+                                                   _on_sigterm)
+
         resume_from = cfg.checkpointing.resume_from
         if resume_from:
             path = resume_from if resume_from != "latest" \
@@ -308,6 +328,8 @@ class Trainer:
         last_logs = None
         timer = StepTimer()
         for batch_idx, batch in enumerate(self.train_pipe):
+            if self._preempted:
+                break
             self.state, logs = self.train_step(self.state, batch)
             timer.step(cfg.training.batch_size)
             losses.append(logs["total_loss"])
@@ -409,6 +431,14 @@ class Trainer:
                 self.log(f"Profile trace written to {self.profile_dir}")
             else:
                 train_loss = self.train_epoch(epoch)
+            if self._preempted:
+                self.ckpt.save(self.state, epoch, {}, is_best=False,
+                               blocking=True)
+                self.log(f"Preempted during epoch {epoch + 1}; checkpoint "
+                         f"saved at step {int(self.state.step)} — resume "
+                         "with --resume latest")
+                final_metrics = final_metrics or {}
+                break
             epoch_time = time.time() - epoch_start
             step = int(self.state.step)
             # state.step counts micro-steps; the schedule is indexed by
@@ -497,6 +527,11 @@ class Trainer:
         return final_metrics
 
     def close(self) -> None:
+        if self._orig_sigterm is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, self._orig_sigterm)
+            self._orig_sigterm = None
         self.tb.close()
         self._train_log.close()
         if self._csv is not None:

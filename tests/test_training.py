@@ -274,6 +274,48 @@ def test_grad_accumulation_equivalence(dataset, tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_preemption_checkpoint_and_resume(dataset, tmp_path):
+    """SIGTERM mid-epoch: the trainer finishes the in-flight batch,
+    saves a checkpoint, and exits; --resume latest continues from it."""
+    import signal
+
+    from cadepth_tpu.training.trainer import Trainer
+
+    cfg = tiny_config(dataset, tmp_path,
+                      training={"num_epochs": 3, "batch_size": 4})
+    tr = Trainer(cfg)
+    orig_step = tr.train_step
+    calls = {"n": 0}
+
+    def step(state, batch):
+        calls["n"] += 1
+        if calls["n"] == 2:  # preempt mid-epoch, after the 2nd batch
+            signal.raise_signal(signal.SIGTERM)
+        return orig_step(state, batch)
+
+    tr.train_step = step
+    tr.train()
+    assert tr._preempted
+    assert calls["n"] == 2  # loop stopped at the next batch boundary
+    saved_step = int(tr.state.step)
+    latest = tr.ckpt.latest_checkpoint()
+    assert latest is not None
+    tr.close()
+    # close() restores the original SIGTERM disposition
+    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
+                                                signal.default_int_handler,
+                                                tr._orig_sigterm)
+
+    cfg2 = tiny_config(dataset, tmp_path,
+                       training={"num_epochs": 3, "batch_size": 4},
+                       checkpointing={
+                           "checkpoint_dir": str(tmp_path / "ckpts"),
+                           "save_interval": 1, "resume_from": "latest"})
+    tr2 = Trainer(cfg2)
+    assert int(tr2.state.step) == saved_step
+    tr2.close()
+
+
 def test_checkpoint_async_save(dataset, tmp_path):
     """blocking=False defers meta/best/retention to finalize(), which is
     also implied by the next save or any restore/lookup."""
