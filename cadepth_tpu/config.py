@@ -74,8 +74,9 @@ class DataConfig:
     #                                on-device gather (+ on-device augment);
     #                                zero per-step H2D. Needs packed_dir and
     #                                a pack at the target resolution.
-    device_resident_dtype: str = "float32"  # HBM storage dtype for RGB/depth
-    #                                         ("bfloat16" halves footprint)
+    device_resident_dtype: str = "float32"  # HBM storage dtype for RGB
+    #                                         ("bfloat16" halves the RGB
+    #                                         footprint; depth stays fp32)
     augmentation: AugmentationYaml = dataclasses.field(default_factory=AugmentationYaml)
 
 

@@ -159,8 +159,11 @@ class Trainer:
                  else jnp.float32)
         # Under a mesh the dataset itself is sharded along the data axis
         # (each chip holds len/n samples and gathers locally); otherwise
-        # one device holds everything.
-        ds_kw = dict(rgb_dtype=dtype, depth_dtype=dtype, mesh=self.mesh,
+        # one device holds everything. bfloat16 storage applies to RGB
+        # only — ground-truth depth keeps fp32 (8-bit-mantissa GT would
+        # skew the losses/metrics it feeds).
+        ds_kw = dict(rgb_dtype=dtype, depth_dtype=jnp.float32,
+                     mesh=self.mesh,
                      sharding=None if self.mesh is not None
                      else self.data_sharding)
         if self.mesh is not None:

@@ -300,11 +300,10 @@ def test_preemption_checkpoint_and_resume(dataset, tmp_path):
     saved_step = int(tr.state.step)
     latest = tr.ckpt.latest_checkpoint()
     assert latest is not None
+    installed = tr._orig_sigterm  # whatever disposition Trainer() replaced
     tr.close()
     # close() restores the original SIGTERM disposition
-    assert signal.getsignal(signal.SIGTERM) in (signal.SIG_DFL,
-                                                signal.default_int_handler,
-                                                tr._orig_sigterm)
+    assert signal.getsignal(signal.SIGTERM) == installed
 
     cfg2 = tiny_config(dataset, tmp_path,
                        training={"num_epochs": 3, "batch_size": 4},
