@@ -183,7 +183,7 @@ def pallas_affine_warp(img: jax.Array, theta: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # coefs (B, 6)
             pl.BlockSpec(memory_space=pltpu.SMEM),   # ystart (B, H)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # img_t, DMA'd manually
+            pl.BlockSpec(memory_space=pl.ANY),       # img_t, DMA'd manually
         ],
         # output laid out (B, H, C, Wp) so the block's last two dims
         # (CTILE, Wp) satisfy the (8,128) min-tile rule

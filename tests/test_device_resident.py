@@ -265,6 +265,32 @@ def test_evaluator_device_resident_sweep_matches_host(pack_dir, tmp_path):
             np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
 
 
+def test_geometry_device_resident_trains(pack_dir, tmp_path):
+    """Flagship integration: geometry_aware + sharded HBM feed + aug;
+    on-device K updates must flow into the step's ray derivation."""
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.training.trainer import Trainer
+
+    cfg = config_from_dict({
+        "experiment": {"name": "devres_geo", "seed": 1},
+        "model": {"architecture": "geometry_aware_lightweight",
+                  "init_features": 4},
+        "data": {"packed_dir": pack_dir, "device_resident": True,
+                 "input_height": 48, "input_width": 64,
+                 "compute_rays": True},
+        "training": {"batch_size": 4, "num_epochs": 1, "use_amp": True},
+        "optimization": {"learning_rate": 1e-3, "lr_scheduler": "none",
+                         "lr_warmup_epochs": 0},
+        "checkpointing": {"checkpoint_dir": str(tmp_path / "ckpt")},
+        "logging": {"log_dir": str(tmp_path / "logs"),
+                    "tensorboard": {"enabled": False}},
+    })
+    tr = Trainer(cfg)
+    metrics = tr.train()
+    assert np.isfinite(metrics.get("abs_rel", np.nan))
+    tr.close()
+
+
 def test_device_resident_requires_pack_resolution(pack_dir):
     loader = PackedSunRGBDLoader(pack_dir, split="train", target_height=32,
                                  target_width=32, rays_on_device=True)
