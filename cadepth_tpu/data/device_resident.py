@@ -196,7 +196,14 @@ class DeviceDataset:
             spec = PartitionSpec(mesh_axis)
 
             def put(arr):
-                return jax.device_put(arr, NamedSharding(mesh, spec))
+                # make_array_from_callback materializes only the shards
+                # addressable by THIS process — correct on multi-host
+                # pods (every host reads the same pack and contributes
+                # its devices' slices) and identical to a sharded
+                # device_put in single-process runs.
+                return jax.make_array_from_callback(
+                    arr.shape, NamedSharding(mesh, spec),
+                    lambda index: arr[index])
         self.rgb = put(rgb)
         self.depth = put(depth)
         self.k = put(k)
