@@ -140,6 +140,28 @@ def test_model_pcl_warp_and_remat_knobs():
     assert cfg2.model.remat is False
 
 
+def test_round2_knobs_parse():
+    """Schema regression: the round-2 data/checkpointing knobs."""
+    cfg = config_from_dict({
+        "data": {"packed_dir": "/p", "packed_preload": True,
+                 "device_resident": True,
+                 "device_resident_dtype": "bfloat16"},
+        "checkpointing": {"async_save": True,
+                          "save_on_preemption": False},
+    })
+    assert cfg.data.packed_preload is True
+    assert cfg.data.device_resident is True
+    assert cfg.data.device_resident_dtype == "bfloat16"
+    assert cfg.checkpointing.async_save is True
+    assert cfg.checkpointing.save_on_preemption is False
+    d = config_from_dict({})
+    assert d.data.packed_preload is False
+    assert d.data.device_resident is False
+    assert d.data.device_resident_dtype == "float32"
+    assert d.checkpointing.async_save is False
+    assert d.checkpointing.save_on_preemption is True
+
+
 def test_distributed_false_disables_data_parallel():
     """ADVICE r1: 'hardware: distributed: false' must be honored."""
     from cadepth_tpu.config import config_from_dict
