@@ -263,11 +263,15 @@ def main() -> None:
         headline = bench_device_step("baseline_unet", batch=16, steps=50,
                                      windows=2, init_features=64)
         headline_kind = "device_step_prestaged"
+    # headline_kind disambiguates WHICH loop produced the number (the
+    # device-resident fed loop vs the pre-staged-batch fallback) so
+    # longitudinal consumers of this line never conflate the two.
     print(json.dumps({
         "metric": "sunrgbd_baseline_unet_train_images_per_sec_per_chip",
         "value": round(headline, 2),
         "unit": "images/sec",
         "vs_baseline": round(headline / BASELINE_IMAGES_PER_SEC, 2),
+        "headline_kind": headline_kind,
     }))
     sys.stdout.flush()
 

@@ -228,11 +228,16 @@ class DeviceDataset:
         if self.mesh is None:
             return (n // batch_size if drop_remainder
                     else -(-n // batch_size))
-        b_local = batch_size // self.n_shards
+        b_local = max(batch_size // self.n_shards, 1)
+        valid_max = max(self._shard_valid_counts(n))
+        return (valid_max // b_local if drop_remainder
+                else -(-valid_max // b_local))
+
+    def _shard_valid_counts(self, n_total: int) -> list:
+        """Real (non-pad, within max_samples) sample count per shard."""
         S = self.shard_size
-        valid_min = min(max(0, min(n - d * S, S))
-                        for d in range(self.n_shards))
-        return valid_min // max(b_local, 1)
+        return [max(0, min(n_total - d * S, S))
+                for d in range(self.n_shards)]
 
     # -- jitted batch assembly ------------------------------------------
 
@@ -315,13 +320,25 @@ class DeviceDataset:
         """One epoch of device batches; same ordering contract as
         InputPipeline (per-epoch reshuffle keyed on (seed, epoch)).
 
-        Sharded mode samples each device's shard independently (every
-        real sample still appears exactly once per epoch; the order is
-        stratified by shard instead of globally mixed)."""
+        ``drop_remainder=False`` pads the tail gather to the full batch
+        size (one compiled gather shape) but yields the batch TRIMMED to
+        its real samples — no sample is double-counted, at the cost of
+        one extra downstream compile for the tail shape.
+
+        Sharded mode samples each device's shard independently (order
+        stratified by shard instead of globally mixed). The epoch length
+        follows the LARGEST shard; shards holding fewer samples wrap
+        around their permutation, repeating up to (max_shard - own)
+        samples per epoch. With ``drop_remainder=False`` every real
+        sample therefore appears at least once (with ``True``, the
+        largest shard's tail is dropped like any pipeline remainder) —
+        metrics sweeps should use the evaluator's exact trimmed sweep,
+        not this iterator."""
         ep = jnp.int32(epoch)
         if self.mesh is not None:
             yield from self._sharded_batches(batch_size, shuffle, seed,
-                                             epoch, augment, max_samples)
+                                             epoch, augment,
+                                             drop_remainder, max_samples)
             return
         n = len(self.rows)
         if max_samples is not None:
@@ -332,13 +349,17 @@ class DeviceDataset:
         num = n // batch_size if drop_remainder else -(-n // batch_size)
         for b in range(num):
             idx = order[b * batch_size:(b + 1) * batch_size]
-            if len(idx) < batch_size:  # pad tail by repeating (rare path)
-                idx = np.concatenate([idx, order[:batch_size - len(idx)]])
-            yield self._gather(jnp.asarray(idx, jnp.int32), ep,
-                               augment=augment)
+            valid = len(idx)
+            if valid < batch_size:  # pad the gather, trim the outputs
+                idx = np.concatenate([idx, order[:batch_size - valid]])
+            batch = self._gather(jnp.asarray(idx, jnp.int32), ep,
+                                 augment=augment)
+            if valid < batch_size:
+                batch = {k: v[:valid] for k, v in batch.items()}
+            yield batch
 
     def _sharded_batches(self, batch_size, shuffle, seed, epoch, augment,
-                         max_samples):
+                         drop_remainder, max_samples):
         n_sh, S = self.n_shards, self.shard_size
         if batch_size % n_sh != 0:
             raise ValueError(f"batch_size {batch_size} not divisible by "
@@ -349,19 +370,23 @@ class DeviceDataset:
             n_total = min(n_total, max_samples)
         rng = np.random.default_rng([seed, epoch])
         perms = []
-        valid_min = None
-        for d in range(n_sh):
+        for valid in self._shard_valid_counts(n_total):
             # shard d holds padded rows [d*S, (d+1)*S); exclude pad rows
-            # (and rows beyond max_samples) from sampling
-            valid = max(0, min(n_total - d * S, S))
-            perm = rng.permutation(valid) if shuffle else np.arange(valid)
-            perms.append(perm)
-            valid_min = valid if valid_min is None else min(valid_min, valid)
-        num = valid_min // b_local
+            # (and rows beyond max_samples) from sampling. A shard left
+            # empty by a max_samples debug limit falls back to its row 0
+            # (pad rows are wraparound copies of real samples).
+            perms.append(rng.permutation(valid) if shuffle and valid
+                         else np.arange(max(valid, 1)))
+        valid_max = max(len(p) for p in perms)
+        num = (valid_max // b_local if drop_remainder
+               else -(-valid_max // b_local))
         ep = jnp.int32(epoch)
         for t in range(num):
-            idx = np.concatenate([p[t * b_local:(t + 1) * b_local]
-                                  for p in perms]).astype(np.int32)
+            # smaller shards (and the tail in non-drop mode) wrap around
+            # their permutation so the gather stays full-shaped
+            pos = np.arange(t * b_local, (t + 1) * b_local)
+            idx = np.concatenate([p[pos % len(p)] for p in perms]
+                                 ).astype(np.int32)
             yield self._gather(jnp.asarray(idx), ep, augment=augment)
 
 

@@ -125,13 +125,15 @@ class ModelEvaluator:
             t0 = time.perf_counter()
             pred = jax.block_until_ready(self.predict_fn(self.state, batch))
             elapsed_ms = (time.perf_counter() - t0) * 1000.0
-            bsz = pred.shape[0]
-            times_ms.extend([elapsed_ms / bsz] * bsz)
+            # NB: a fresh name — `bsz` is captured by the device_sweep
+            # generator above and must not be rebound mid-iteration.
+            n_in_batch = pred.shape[0]
+            times_ms.extend([elapsed_ms / n_in_batch] * n_in_batch)
             metrics = compute_depth_metrics_per_sample(
                 pred, batch["depth"],
                 min_depth=ecfg.min_depth, max_depth=ecfg.max_depth)
             host = {k: np.asarray(v) for k, v in metrics.items()}
-            for i in range(bsz):
+            for i in range(n_in_batch):
                 per_sample.append({k: float(v[i]) for k, v in host.items()})
 
         def agg(fn):

@@ -18,6 +18,7 @@ import functools
 from typing import Any, Callable, Dict, Tuple
 
 import flax.struct
+import flax.traverse_util
 import jax
 import jax.numpy as jnp
 import optax
@@ -71,6 +72,8 @@ def build_model_and_loss(cfg: Config, dtype=jnp.bfloat16):
         variant=cfg.model.variant,
         remat=cfg.model.remat,
         pcl_warp=cfg.model.pcl_warp,
+        norm=cfg.model.norm,
+        decoder_upsample=cfg.model.decoder_upsample,
         dtype=dtype if cfg.training.use_amp else jnp.float32,
     )
     loss_fn = CombinedDepthLoss(
@@ -86,7 +89,20 @@ def build_model_and_loss(cfg: Config, dtype=jnp.bfloat16):
 
 def _batch_with_rays(batch: Dict[str, jax.Array], needs_rays: bool,
                      derive_rays: bool) -> Dict[str, jax.Array]:
-    if needs_rays and derive_rays:
+    """Ensure geometry batches carry a ray grid.
+
+    With ``derive_rays`` (= data.compute_rays) the grid is always derived
+    on device from K. Without it, host batches are expected to carry the
+    stored ``rays.bin`` grids — but some feeds never store rays at all
+    (the device-resident HBM path, packs), so an absent key falls back to
+    on-device derivation rather than a trace-time KeyError. (The
+    reference's own fallback for missing rays is zeros,
+    `sunrgbd_loader.cpp:151-156`; the host loader reproduces that quirk
+    for missing files — this branch only covers feeds with no rays
+    channel at all, where zeros would silently disable the geometry
+    models' conditioning.)
+    """
+    if needs_rays and (derive_rays or "rays" not in batch):
         h, w = batch["rgb"].shape[1], batch["rgb"].shape[2]
         batch = dict(batch)
         batch["rays"] = ray_grid_batch(batch["intrinsics"], h, w)
@@ -143,7 +159,9 @@ def make_train_step(
                                         mutable=["batch_stats"])
             total, comps = loss_fn(pred, gt, batch["rgb"],
                                    batch["intrinsics"], valid_mask)
-            return total, (comps, mutated["batch_stats"])
+            # norm=group models may carry no batch statistics at all
+            return total, (comps,
+                           mutated.get("batch_stats", state.batch_stats))
 
         (_, (comps, new_batch_stats)), grads = jax.value_and_grad(
             loss_of, has_aux=True)(state.params)
@@ -168,6 +186,44 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
+def make_grad_fn(
+    cfg: Config,
+    model,
+    loss_fn: CombinedDepthLoss,
+) -> Callable[[TrainState, Dict[str, jax.Array]], Any]:
+    """Jitted gradient-only pass for observability.
+
+    Returns the raw gradient pytree for per-parameter histogram logging
+    (`tensorboard_trainer_enhanced.h:523-555` logs `gradients/<name>`
+    histograms every histogram_interval). The hot train step never
+    returns the grad pytree to the host — this separate program runs
+    only at the histogram interval, so the extra fwd+bwd and the
+    grads-to-host transfer cost nothing in steady state.
+    """
+    arch = cfg.model.architecture
+    needs_rays = arch.startswith("geometry_aware")
+    derive_rays = cfg.data.compute_rays
+    valid_from_range = cfg.loss.min_depth
+
+    def grad_fn(state: TrainState, batch: Dict[str, jax.Array]):
+        batch = _batch_with_rays(batch, needs_rays, derive_rays)
+        args, kwargs = model_inputs(arch, batch, train=True)
+        gt = batch["depth"]
+        valid_mask = gt > valid_from_range
+
+        def loss_of(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            pred, _ = model.apply(variables, *args, **kwargs,
+                                  mutable=["batch_stats"])
+            total, _ = loss_fn(pred, gt, batch["rgb"],
+                               batch["intrinsics"], valid_mask)
+            return total
+
+        return jax.grad(loss_of)(state.params)
+
+    return jax.jit(grad_fn)
+
+
 def make_eval_step(
     cfg: Config,
     model,
@@ -182,7 +238,8 @@ def make_eval_step(
         batch = _batch_with_rays(batch, needs_rays, derive_rays)
         args, kwargs = model_inputs(arch, batch, train=False)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        pred = model.apply(variables, *args, **kwargs)
+        pred, inter = model.apply(variables, *args, **kwargs,
+                                  mutable=["intermediates"])
         gt = batch["depth"]
         valid_mask = gt > cfg.loss.min_depth
         total, comps = loss_fn(pred, gt, batch["rgb"],
@@ -192,6 +249,16 @@ def make_eval_step(
             max_depth=cfg.validation.max_depth)
         out = dict(comps)
         out.update(metrics)
+        # Max predicted PCL |rotation| across decoder levels: the GEMM
+        # warp's kernel-displacement bound is |tan rot| px, so this
+        # scalar is the live proof the two_pass default stays sub-pixel
+        # (models/pcl.py warp_mode docs).
+        rots = [jnp.max(jnp.stack(v)) for k, v in
+                flax.traverse_util.flatten_dict(
+                    inter.get("intermediates", {})).items()
+                if k[-1] == "pcl_max_rot"]
+        if rots:
+            out["pcl_max_rot"] = jnp.max(jnp.stack(rots))
         return out
 
     return jax.jit(eval_fn)

@@ -291,6 +291,78 @@ def test_geometry_device_resident_trains(pack_dir, tmp_path):
     tr.close()
 
 
+def test_tail_batch_trimmed_not_duplicated(pack_dir):
+    """drop_remainder=False must yield a TRIMMED tail: a full sweep sees
+    every sample exactly once (a padded tail would double-count head
+    samples and bias any metric computed through it)."""
+    loader, ds = make_ds(pack_dir)
+    n = len(ds)
+    batch = 5  # 12 % 5 == 2 -> ragged tail
+    got = list(ds.batches(batch, shuffle=False, drop_remainder=False,
+                          augment=False))
+    assert [b["rgb"].shape[0] for b in got] == [5, 5, 2]
+    assert ds.batches_per_epoch(batch, drop_remainder=False) == len(got)
+    swept = np.concatenate([np.asarray(b["rgb"]) for b in got])
+    src = np.stack([np.asarray(loader._rgb[s["row"]], np.float32)
+                    for s in loader.sample_paths])
+    np.testing.assert_array_equal(swept, src[:n])
+
+
+def test_sharded_uneven_shards_full_coverage(pack_dir):
+    """Smaller shards wrap around their permutation so the epoch follows
+    the largest shard; with drop_remainder=False every real sample
+    appears at least once (ADVICE r2: valid_min iteration silently
+    dropped larger shards' extras)."""
+    from cadepth_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    loader = PackedSunRGBDLoader(pack_dir, split="train", compute_rays=True,
+                                 rays_on_device=True)
+    ds = DeviceDataset(loader, mesh=mesh)
+    S, n_lim = ds.shard_size, 10  # valids per shard: [3, 3, 3, 1]
+    got = list(ds.batches(8, shuffle=False, epoch=0, drop_remainder=False,
+                          max_samples=n_lim))
+    assert len(got) == ds.batches_per_epoch(8, max_samples=n_lim,
+                                            drop_remainder=False) == 2
+    rows_seen = set()
+    src = np.stack([np.asarray(loader._rgb[s["row"]], np.float32)
+                    for s in loader.sample_paths])
+    for b in got:
+        rgb = np.asarray(b["rgb"])
+        for img in rgb:
+            match = np.where((src == img).all(axis=(1, 2, 3)))[0]
+            assert match.size
+            rows_seen.add(int(match[0]))
+    assert rows_seen == set(range(n_lim))
+
+
+def test_geometry_device_resident_without_compute_rays(pack_dir, tmp_path):
+    """device_resident feeds never carry a rays key; with
+    data.compute_rays=false the steps must still derive rays on device
+    instead of KeyError-ing at trace time (ADVICE r2 item 1)."""
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.training.trainer import Trainer
+
+    cfg = config_from_dict({
+        "experiment": {"name": "devres_norays", "seed": 1},
+        "model": {"architecture": "geometry_aware_lightweight",
+                  "init_features": 4},
+        "data": {"packed_dir": pack_dir, "device_resident": True,
+                 "input_height": 48, "input_width": 64,
+                 "compute_rays": False},
+        "training": {"batch_size": 4, "num_epochs": 1, "use_amp": True},
+        "optimization": {"learning_rate": 1e-3, "lr_scheduler": "none",
+                         "lr_warmup_epochs": 0},
+        "checkpointing": {"checkpoint_dir": str(tmp_path / "ckpt")},
+        "logging": {"log_dir": str(tmp_path / "logs"),
+                    "tensorboard": {"enabled": False}},
+    })
+    tr = Trainer(cfg)
+    metrics = tr.train()
+    assert np.isfinite(metrics.get("abs_rel", np.nan))
+    tr.close()
+
+
 def test_device_resident_requires_pack_resolution(pack_dir):
     loader = PackedSunRGBDLoader(pack_dir, split="train", target_height=32,
                                  target_width=32, rays_on_device=True)
