@@ -37,6 +37,7 @@ from cadepth_tpu.training.train_state import (
     build_optimizer,
     create_train_state,
     make_eval_step,
+    make_grad_fn,
     make_predict_fn,
     make_train_step,
 )
@@ -222,6 +223,9 @@ class Trainer:
         self.train_step = make_train_step(cfg, self.model, self.loss_fn, self.tx)
         self.eval_step = make_eval_step(cfg, self.model, self.loss_fn)
         self.predict_fn = make_predict_fn(cfg, self.model)
+        # built lazily: compiles only if histogram logging ever fires
+        self._grad_fn = None
+        self._last_train_batch = None
 
         # -- state
         sample_batch = jax.device_put(self.train_loader.get_batch(
@@ -334,6 +338,7 @@ class Trainer:
             if self._preempted:
                 break
             self.state, logs = self.train_step(self.state, batch)
+            self._last_train_batch = batch
             timer.step(cfg.training.batch_size)
             losses.append(logs["total_loss"])
             last_logs = logs
@@ -399,6 +404,21 @@ class Trainer:
         for path, leaf in flat:
             name = "/".join(str(getattr(p, "key", p)) for p in path)
             self.tb.add_histogram(f"weights/{name}", np.asarray(leaf), epoch)
+
+    def log_gradient_histograms(self, epoch: int) -> None:
+        """Per-parameter `gradients/<name>` histograms
+        (`tensorboard_trainer_enhanced.h:523-555`), computed by a
+        dedicated grad-only program on the epoch's last train batch —
+        the hot step never ships the grad pytree to the host."""
+        if self._last_train_batch is None:
+            return
+        if self._grad_fn is None:
+            self._grad_fn = make_grad_fn(self.cfg, self.model, self.loss_fn)
+        grads = self._grad_fn(self.state, self._last_train_batch)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads):
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            self.tb.add_histogram(f"gradients/{name}", np.asarray(leaf),
+                                  epoch)
 
     def train(self) -> Dict[str, float]:
         cfg = self.cfg
@@ -470,11 +490,16 @@ class Trainer:
                                    val_metrics.get("delta_1.25^2", 0.0), epoch)
                 self.tb.add_scalar("metrics/a3",
                                    val_metrics.get("delta_1.25^3", 0.0), epoch)
+                if "pcl_max_rot" in val_metrics:
+                    # live check of the two_pass warp's sub-pixel bound
+                    self.tb.add_scalar("training/pcl_max_rot",
+                                       val_metrics["pcl_max_rot"], epoch)
                 self.visualize(epoch)
 
             if cfg.logging.log_histogram_interval and \
                     (epoch + 1) % cfg.logging.log_histogram_interval == 0:
                 self.log_weight_histograms(epoch)
+                self.log_gradient_histograms(epoch)
 
             if self._csv is not None:
                 self._csv.write(

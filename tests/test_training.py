@@ -126,6 +126,25 @@ def test_eval_step_outputs(dataset, tmp_path):
     for key in ("total_loss", "si_loss", "abs_rel", "rmse", "delta_1.25"):
         assert key in out
         assert np.isfinite(float(out[key]))
+    assert "pcl_max_rot" not in out  # baseline_unet has no PCL
+
+
+def test_eval_step_reports_pcl_rotation(dataset, tmp_path):
+    """Geometry models surface the max predicted PCL |rotation| so the
+    two_pass default's sub-pixel displacement bound is monitorable; at
+    identity init the rotations are exactly 0."""
+    cfg = tiny_config(dataset, tmp_path,
+                      model={"architecture": "geometry_aware_lightweight",
+                             "init_features": 4})
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization, lambda s: 1e-3)
+    root, manifest = dataset
+    loader = SunRGBDLoader(f"{root}/sunrgbd", manifest,
+                           target_height=32, target_width=32)
+    batch = jax.device_put(loader.get_batch([0, 1]))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    out = make_eval_step(cfg, model, loss_fn)(state, batch)
+    assert float(out["pcl_max_rot"]) == 0.0
 
 
 def test_trainer_end_to_end(dataset, tmp_path):
@@ -146,17 +165,39 @@ def test_trainer_end_to_end(dataset, tmp_path):
 
 
 def test_trainer_geometry_aware_arch(dataset, tmp_path):
-    # two_pass avoids compiling BOTH warp branches of the default "auto"
-    # lax.cond in this CPU test (auto's branch agreement is covered by
-    # test_pcl_warp_modes_agree at the layer level)
     cfg = tiny_config(dataset, tmp_path,
                       model={"architecture": "geometry_aware",
-                             "init_features": 4,
-                             "pcl_warp": "two_pass"})
+                             "init_features": 4})
     trainer = Trainer(cfg)
     loss = trainer.train_epoch(0)
     trainer.close()
     assert np.isfinite(loss)
+
+
+def test_gradient_histograms_logged(dataset, tmp_path):
+    """Per-parameter `gradients/<name>` histograms at the histogram
+    interval (tag parity: tensorboard_trainer_enhanced.h:523-555) —
+    one tag per weight tag, finite values, from a grad-only pass."""
+    cfg = tiny_config(dataset, tmp_path,
+                      logging={"tensorboard": {
+                          "enabled": False, "log_histogram_interval": 1}})
+    trainer = Trainer(cfg)
+    recorded = []
+    trainer.tb.add_histogram = lambda tag, values, step: recorded.append(
+        (tag, np.asarray(values), step))
+    trainer.train()
+    trainer.close()
+    grad_tags = sorted(t for t, _, _ in recorded
+                       if t.startswith("gradients/"))
+    weight_tags = sorted(t for t, _, _ in recorded
+                         if t.startswith("weights/"))
+    assert grad_tags and len(set(grad_tags)) == len(set(weight_tags))
+    assert ({t.removeprefix("gradients/") for t in grad_tags}
+            == {t.removeprefix("weights/") for t in weight_tags})
+    for tag, values, _ in recorded:
+        assert np.isfinite(values).all(), tag
+    assert any(np.abs(v).max() > 0 for t, v, _ in recorded
+               if t.startswith("gradients/"))
 
 
 def test_checkpoint_roundtrip_and_resume(dataset, tmp_path):
