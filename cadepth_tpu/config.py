@@ -91,10 +91,21 @@ class ModelConfig:
     use_attention: bool = True
     variant: str = "full"
     remat: bool = False  # gradient checkpointing for big configs
-    # PCL warp backend: "auto" (gather-free two-pass GEMM warp under a
-    # rotation bound, exact gather fallback), "gather" (reference-parity
-    # grid_sample always), "two_pass" (GEMM warp always). PERF_NOTES.md.
-    pcl_warp: str = "auto"
+    # PCL warp backend: "two_pass" (gather-free GEMM warp — exact for
+    # zero predicted rotation, <= |tan rot| px kernel displacement under
+    # it; the DEFAULT, ~15% faster than "auto"), "auto" (two_pass under
+    # a runtime rotation bound with exact gather fallback via lax.cond),
+    # "gather" (reference-parity grid_sample always), "separable"
+    # (axis-aligned GEMM warp, drops rotation+shear). PERF_NOTES.md.
+    pcl_warp: str = "two_pass"
+    # Normalization: "batch" (reference parity: BN everywhere,
+    # sync-stats under SPMD) | "group" (GroupNorm experiment — drops the
+    # fp32 BN-statistic epilogues from every conv; revalidate quality).
+    norm: str = "batch"
+    # Decoder upsampling: "transpose" (reference parity: ConvTranspose
+    # 2x2 s2) | "resize" (nearest 2x + Conv3x3 experiment — denser MXU
+    # work than the strided transpose-conv lowering).
+    decoder_upsample: str = "transpose"
 
 
 @dataclasses.dataclass
@@ -313,8 +324,16 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         # bool or the string policy "highres"/"full" (models/layers.py)
         remat=(m["remat"] if isinstance(m.get("remat"), str)
                else bool(m.get("remat", False))),
-        pcl_warp=m.get("pcl_warp", "auto"),
+        pcl_warp=m.get("pcl_warp", "two_pass"),
+        norm=m.get("norm", "batch"),
+        decoder_upsample=m.get("decoder_upsample", "transpose"),
     )
+    if cfg.model.norm not in ("batch", "group"):
+        raise ValueError(f"model.norm must be batch|group, got "
+                         f"{cfg.model.norm!r}")
+    if cfg.model.decoder_upsample not in ("transpose", "resize"):
+        raise ValueError(f"model.decoder_upsample must be transpose|resize, "
+                         f"got {cfg.model.decoder_upsample!r}")
 
     o = raw.get("optimization", {})
     cfg.optimization = OptimizationConfig(

@@ -44,7 +44,9 @@ def create_model(
     use_attention: bool = True,
     variant: str = "full",
     remat: bool = False,
-    pcl_warp: str = "auto",
+    pcl_warp: str = "two_pass",
+    norm: str = "batch",
+    decoder_upsample: str = "transpose",
     dtype: Any = jnp.bfloat16,
 ) -> nn.Module:
     """Build a model by architecture string (train_config.yaml `model:` block).
@@ -52,42 +54,47 @@ def create_model(
     Dispatch parity with `createModel` (`train_main.cpp:186-213`):
     `intrinsics_unet` + `use_attention` selects the CBAM variant, and
     `geometry_aware` honors `variant: full|lightweight`.
-    `intrinsics_attention_unet` is an explicit alias.
+    `intrinsics_attention_unet` is an explicit alias. ``norm`` and
+    ``decoder_upsample`` are TPU performance experiment knobs
+    (models/layers.py apply_norm / upsample2x); the defaults are
+    reference parity.
     """
+    exp_kw = dict(norm=norm, decoder_upsample=decoder_upsample)
     if architecture == "baseline_unet":
         return BaselineUNet(in_channels=in_channels, init_features=init_features,
-                            max_depth=max_depth, remat=remat, dtype=dtype)
+                            max_depth=max_depth, remat=remat, dtype=dtype,
+                            **exp_kw)
     if architecture == "intrinsics_unet":
         if use_attention:
             return IntrinsicsAttentionUNet(
                 in_channels=in_channels, init_features=init_features,
                 camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-                dtype=dtype)
+                dtype=dtype, **exp_kw)
         return IntrinsicsConditionedUNet(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-            dtype=dtype)
+            dtype=dtype, **exp_kw)
     if architecture == "intrinsics_attention_unet":
         return IntrinsicsAttentionUNet(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-            dtype=dtype)
+            dtype=dtype, **exp_kw)
     if architecture == "geometry_aware":
         if variant == "lightweight":
             return LightweightGeometryNetwork(
                 in_channels=in_channels, init_features=min(init_features, 32),
                 camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-                pcl_warp=pcl_warp, dtype=dtype)
+                pcl_warp=pcl_warp, dtype=dtype, **exp_kw)
         return GeometryAwareNetwork(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth,
             use_pcl=use_pcl, use_attention=use_attention, remat=remat,
-            pcl_warp=pcl_warp, dtype=dtype)
+            pcl_warp=pcl_warp, dtype=dtype, **exp_kw)
     if architecture == "geometry_aware_lightweight":
         return LightweightGeometryNetwork(
             in_channels=in_channels, init_features=min(init_features, 32),
             camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-            pcl_warp=pcl_warp, dtype=dtype)
+            pcl_warp=pcl_warp, dtype=dtype, **exp_kw)
     raise ValueError(
         f"Unknown architecture '{architecture}'; expected one of {ARCHITECTURES}")
 

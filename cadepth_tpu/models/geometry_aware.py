@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from cadepth_tpu.geometry.intrinsics import normalize_k4
 from cadepth_tpu.models.attention import CBAM
 from cadepth_tpu.models.film import FiLMLayer
-from cadepth_tpu.models.layers import maybe_remat, pad_to_match
+from cadepth_tpu.models.layers import (apply_norm, maybe_remat,
+                                       pad_to_match, upsample2x)
 from cadepth_tpu.models.pcl import PerspectiveCorrectionLayer
 from cadepth_tpu.ops.resize import avg_pool2d
 
@@ -33,6 +34,7 @@ class RayEnhancedConv(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, camera_params,
@@ -43,15 +45,13 @@ class RayEnhancedConv(nn.Module):
                 [x, ray_directions.astype(x.dtype)], axis=-1)
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                         name="bn1")(x).astype(self.dtype)
+        x = apply_norm(x, self.norm, train, "bn1", self.dtype)
         x = nn.relu(x)
         x = FiLMLayer(self.features, dtype=self.dtype, name="film")(
             x, camera_params, train)
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                         name="bn2")(x).astype(self.dtype)
+        x = apply_norm(x, self.norm, train, "bn2", self.dtype)
         return nn.relu(x)
 
 
@@ -61,13 +61,15 @@ class GeometryEncoderBlock(nn.Module):
     features: int
     use_attention: bool = True
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, camera_params,
                  ray_directions: Optional[jax.Array] = None,
                  train: bool = False):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = RayEnhancedConv(self.features, self.dtype, name="conv")(
+        x = RayEnhancedConv(self.features, self.dtype, self.norm,
+                            name="conv")(
             x, camera_params, ray_directions, train)
         if self.use_attention:
             x = CBAM(self.features, dtype=self.dtype, name="attention")(x)
@@ -83,21 +85,23 @@ class GeometryDecoderBlock(nn.Module):
     use_pcl: bool = True
     use_attention: bool = True
     dtype: Any = jnp.bfloat16
-    pcl_warp: str = "auto"
+    pcl_warp: str = "two_pass"
+    norm: str = "batch"
+    upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, x, skip, camera_params,
                  ray_directions: Optional[jax.Array] = None,
                  train: bool = False):
-        x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
-                             dtype=self.dtype, name="up")(x)
+        x = upsample2x(x, self.features, self.upsample, self.dtype, "up")
         if self.use_pcl:
             x = PerspectiveCorrectionLayer(
                 self.features, warp_mode=self.pcl_warp, dtype=self.dtype,
                 name="pcl")(x, camera_params, ray_directions, train)
         x = pad_to_match(x, skip)
         x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
-        x = RayEnhancedConv(self.features, self.dtype, name="conv")(
+        x = RayEnhancedConv(self.features, self.dtype, self.norm,
+                            name="conv")(
             x, camera_params, None, train)
         if self.use_attention:
             x = CBAM(self.features, dtype=self.dtype, name="attention")(x)
@@ -120,8 +124,12 @@ class GeometryAwareNetwork(nn.Module):
     # False | True/"full" | "highres" (models/layers.py: maybe_remat)
     remat: Any = False
     dtype: Any = jnp.bfloat16
-    # PCL warp backend: "auto" | "gather" | "two_pass" (models/pcl.py)
-    pcl_warp: str = "auto"
+    # PCL warp backend: "two_pass" | "auto" | "gather" | "separable"
+    # (models/pcl.py — two_pass is the TPU default, see its docstring)
+    pcl_warp: str = "two_pass"
+    # "batch" | "group" and "transpose" | "resize" (models/layers.py)
+    norm: str = "batch"
+    decoder_upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, rgb, ray_directions, camera_intrinsics,
@@ -131,6 +139,7 @@ class GeometryAwareNetwork(nn.Module):
         cam = normalize_k4(camera_intrinsics, width=w, height=h)
         x = rgb.astype(self.dtype)
         rays = ray_directions
+        nm, up = self.norm, self.decoder_upsample
 
         RayConv = maybe_remat(RayEnhancedConv, (4,), self.remat)
         Enc = maybe_remat(GeometryEncoderBlock, (4,), self.remat)
@@ -140,34 +149,35 @@ class GeometryAwareNetwork(nn.Module):
         DecLo = maybe_remat(GeometryDecoderBlock, (5,), self.remat,
                             highres_block=False)
 
-        skip1 = RayConv(f, self.dtype, name="enc1")(x, cam, rays, train)
-        skip2 = Enc(f * 2, self.use_attention, self.dtype,
+        skip1 = RayConv(f, self.dtype, nm, name="enc1")(x, cam, rays, train)
+        skip2 = Enc(f * 2, self.use_attention, self.dtype, nm,
                     name="enc2")(skip1, cam, None, train)
-        skip3 = EncLo(f * 4, self.use_attention, self.dtype,
+        skip3 = EncLo(f * 4, self.use_attention, self.dtype, nm,
                       name="enc3")(skip2, cam, None, train)
-        skip4 = EncLo(f * 8, self.use_attention, self.dtype,
+        skip4 = EncLo(f * 8, self.use_attention, self.dtype, nm,
                       name="enc4")(skip3, cam, None, train)
-        skip5 = EncLo(f * 16, self.use_attention, self.dtype,
+        skip5 = EncLo(f * 16, self.use_attention, self.dtype, nm,
                       name="enc5")(skip4, cam, None, train)
 
-        x = EncLo(f * 32, self.use_attention, self.dtype,
+        x = EncLo(f * 32, self.use_attention, self.dtype, nm,
                   name="bottleneck")(skip5, cam, None, train)
 
         # Decoder rays at factors 16/8/4/2/1 (`geometry_aware_network.h:310-316`).
+        dec_kw = dict(pcl_warp=self.pcl_warp, norm=nm, upsample=up)
         x = DecLo(f * 16, self.use_pcl, self.use_attention,
-                  self.dtype, pcl_warp=self.pcl_warp, name="dec5")(
+                  self.dtype, name="dec5", **dec_kw)(
             x, skip5, cam, avg_pool2d(rays, 16), train)
         x = DecLo(f * 8, self.use_pcl, self.use_attention,
-                  self.dtype, pcl_warp=self.pcl_warp, name="dec4")(
+                  self.dtype, name="dec4", **dec_kw)(
             x, skip4, cam, avg_pool2d(rays, 8), train)
         x = DecLo(f * 4, self.use_pcl, self.use_attention,
-                  self.dtype, pcl_warp=self.pcl_warp, name="dec3")(
+                  self.dtype, name="dec3", **dec_kw)(
             x, skip3, cam, avg_pool2d(rays, 4), train)
         x = Dec(f * 2, self.use_pcl, self.use_attention,
-                self.dtype, pcl_warp=self.pcl_warp, name="dec2")(
+                self.dtype, name="dec2", **dec_kw)(
             x, skip2, cam, avg_pool2d(rays, 2), train)
         x = Dec(f, self.use_pcl, self.use_attention,
-                self.dtype, pcl_warp=self.pcl_warp, name="dec1")(
+                self.dtype, name="dec1", **dec_kw)(
             x, skip1, cam, rays, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
@@ -187,7 +197,9 @@ class LightweightGeometryNetwork(nn.Module):
     max_depth: float = 10.0
     remat: Any = False
     dtype: Any = jnp.bfloat16
-    pcl_warp: str = "auto"
+    pcl_warp: str = "two_pass"
+    norm: str = "batch"
+    decoder_upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, rgb, ray_directions, camera_intrinsics,
@@ -197,6 +209,7 @@ class LightweightGeometryNetwork(nn.Module):
         cam = normalize_k4(camera_intrinsics, width=w, height=h)
         x = rgb.astype(self.dtype)
         rays = ray_directions
+        nm, up = self.norm, self.decoder_upsample
         RayConv = maybe_remat(RayEnhancedConv, (4,), self.remat)
         Enc = maybe_remat(GeometryEncoderBlock, (4,), self.remat)
         Dec = maybe_remat(GeometryDecoderBlock, (5,), self.remat)
@@ -205,24 +218,25 @@ class LightweightGeometryNetwork(nn.Module):
         DecLo = maybe_remat(GeometryDecoderBlock, (5,), self.remat,
                             highres_block=False)
 
-        skip1 = RayConv(f, self.dtype, name="enc1")(x, cam, rays, train)
-        skip2 = Enc(f * 2, True, self.dtype, name="enc2")(
+        skip1 = RayConv(f, self.dtype, nm, name="enc1")(x, cam, rays, train)
+        skip2 = Enc(f * 2, True, self.dtype, nm, name="enc2")(
             skip1, cam, None, train)
-        skip3 = EncLo(f * 4, True, self.dtype, name="enc3")(
+        skip3 = EncLo(f * 4, True, self.dtype, nm, name="enc3")(
             skip2, cam, None, train)
-        skip4 = EncLo(f * 8, True, self.dtype, name="enc4")(
+        skip4 = EncLo(f * 8, True, self.dtype, nm, name="enc4")(
             skip3, cam, None, train)
 
-        x = EncLo(f * 16, True, self.dtype, name="bottleneck")(
+        x = EncLo(f * 16, True, self.dtype, nm, name="bottleneck")(
             skip4, cam, None, train)
 
-        x = DecLo(f * 8, True, True, self.dtype, pcl_warp=self.pcl_warp, name="dec4")(
+        dec_kw = dict(pcl_warp=self.pcl_warp, norm=nm, upsample=up)
+        x = DecLo(f * 8, True, True, self.dtype, name="dec4", **dec_kw)(
             x, skip4, cam, avg_pool2d(rays, 8), train)
-        x = DecLo(f * 4, True, True, self.dtype, pcl_warp=self.pcl_warp, name="dec3")(
+        x = DecLo(f * 4, True, True, self.dtype, name="dec3", **dec_kw)(
             x, skip3, cam, avg_pool2d(rays, 4), train)
-        x = Dec(f * 2, True, True, self.dtype, pcl_warp=self.pcl_warp, name="dec2")(
+        x = Dec(f * 2, True, True, self.dtype, name="dec2", **dec_kw)(
             x, skip2, cam, avg_pool2d(rays, 2), train)
-        x = Dec(f, True, True, self.dtype, pcl_warp=self.pcl_warp, name="dec1")(
+        x = Dec(f, True, True, self.dtype, name="dec1", **dec_kw)(
             x, skip1, cam, rays, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(

@@ -52,17 +52,25 @@ class PerspectiveCorrectionLayer(nn.Module):
     # (pcl_layer.h:76-111; geometry_aware_network.h:144-145), so parity
     # default is False. forward3D behavior = gate_with_rays=True.
     gate_with_rays: bool = False
-    # Warp backend: "auto" uses the gather-free two-pass GEMM warp
-    # (ops/affine_warp.py) while the predicted |rotation| stays under
-    # rot_bound — exact for rot=0, sub-pixel sheared kernel otherwise —
-    # and falls back to the exact gather path beyond it (lax.cond, one
-    # branch executes). "gather" = reference-parity grid_sample always;
-    # "two_pass" = GEMM warp always; "separable" = shared-matrix GEMM
-    # warp always (exact for the axis-aligned scale+translate subspace,
-    # silently drops predicted rotation AND shear — fastest, see
-    # PERF_NOTES.md). XLA TPU gathers are near scalar speed, so "auto"
-    # is the TPU default.
-    warp_mode: str = "auto"
+    # Warp backend. "two_pass" (default) is the gather-free two-pass
+    # GEMM warp (ops/affine_warp.py): exact vs the reference's bilinear
+    # grid_sample for zero predicted rotation (scale/shear/translate all
+    # free), and under true rotation the first-pass kernel is displaced
+    # by at most |tan rot| px — sub-pixel for any plausible learned
+    # rotation (PCL's 6-param head is identity-initialized and its
+    # rotations stay ~1e-2 rad in practice; the layer sows its per-batch
+    # max |rot| as the "pcl_max_rot" intermediate so monitoring can
+    # verify the bound, see make_eval_step). "auto" adds a per-level
+    # runtime guard: predicted |rotation| < rot_bound uses two_pass,
+    # beyond it falls back to the exact gather path via lax.cond — the
+    # cond boundaries cost ~15% of the geometry step (PERF_NOTES.md), so
+    # it's opt-in for workloads that expect large learned rotations.
+    # "gather" = reference-parity grid_sample always; "separable" =
+    # shared-matrix GEMM warp always (exact for the axis-aligned
+    # scale+translate subspace, silently drops predicted rotation AND
+    # shear — fastest). XLA TPU gathers are near scalar speed, hence a
+    # GEMM-warp default.
+    warp_mode: str = "two_pass"
     rot_bound: float = 0.05
     dtype: Any = jnp.bfloat16
 
@@ -84,6 +92,12 @@ class PerspectiveCorrectionLayer(nn.Module):
             name="fc_transform",
         )(h)
         theta = _build_affine_matrix(params)
+        # Monitoring hook: per-batch max predicted |rotation|, so runs
+        # using the GEMM warps can verify the ≤|tan rot|-px displacement
+        # bound stays sub-pixel (read via mutable=["intermediates"];
+        # the eval step surfaces the max across levels as pcl_max_rot).
+        self.sow("intermediates", "pcl_max_rot",
+                 jnp.max(jnp.abs(params[:, 4])))
 
         def warp_gather(feats, th):
             grid = affine_grid(th, feats.shape[1], feats.shape[2],

@@ -134,9 +134,10 @@ def test_model_pcl_warp_and_remat_knobs():
                                       "remat": "highres"}})
     assert cfg.model.pcl_warp == "two_pass"
     assert cfg.model.remat == "highres"
-    # defaults
+    # defaults (round 3: two_pass — the GEMM warp with the documented
+    # sub-pixel rotation bound — replaced "auto" as the default)
     cfg2 = config_from_dict({})
-    assert cfg2.model.pcl_warp == "auto"
+    assert cfg2.model.pcl_warp == "two_pass"
     assert cfg2.model.remat is False
 
 
