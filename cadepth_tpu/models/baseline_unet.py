@@ -27,6 +27,10 @@ class BaselineUNet(nn.Module):
     # False | True/"full" | "highres" (see models/layers.py: maybe_remat)
     remat: Any = False
     dtype: Any = jnp.bfloat16
+    # "batch" (reference parity) | "group" — see layers.apply_norm
+    norm: str = "batch"
+    # "transpose" (reference parity) | "resize" — see layers.upsample2x
+    decoder_upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, rgb, train: bool = False):
@@ -38,18 +42,19 @@ class BaselineUNet(nn.Module):
         # coarse levels: only rematted in "full" mode
         EncLo = maybe_remat(EncoderBlock, (2,), self.remat, highres_block=False)
         DecLo = maybe_remat(DecoderBlock, (3,), self.remat, highres_block=False)
+        nm, up = self.norm, self.decoder_upsample
 
-        skip1 = DC(f, self.dtype, name="enc1")(x, train)
-        skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, train)
-        skip3 = EncLo(f * 4, self.dtype, name="enc3")(skip2, train)
-        skip4 = EncLo(f * 8, self.dtype, name="enc4")(skip3, train)
+        skip1 = DC(f, self.dtype, nm, name="enc1")(x, train)
+        skip2 = Enc(f * 2, self.dtype, nm, name="enc2")(skip1, train)
+        skip3 = EncLo(f * 4, self.dtype, nm, name="enc3")(skip2, train)
+        skip4 = EncLo(f * 8, self.dtype, nm, name="enc4")(skip3, train)
 
-        x = EncLo(f * 16, self.dtype, name="bottleneck")(skip4, train)
+        x = EncLo(f * 16, self.dtype, nm, name="bottleneck")(skip4, train)
 
-        x = DecLo(f * 8, self.dtype, name="dec4")(x, skip4, train)
-        x = DecLo(f * 4, self.dtype, name="dec3")(x, skip3, train)
-        x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, train)
-        x = Dec(f, self.dtype, name="dec1")(x, skip1, train)
+        x = DecLo(f * 8, self.dtype, nm, up, name="dec4")(x, skip4, train)
+        x = DecLo(f * 4, self.dtype, nm, up, name="dec3")(x, skip3, train)
+        x = Dec(f * 2, self.dtype, nm, up, name="dec2")(x, skip2, train)
+        x = Dec(f, self.dtype, nm, up, name="dec1")(x, skip1, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
             x.astype(jnp.float32))

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from cadepth_tpu.geometry.intrinsics import normalize_k4
 from cadepth_tpu.models.attention import CBAM
 from cadepth_tpu.models.film import FiLMLayer
-from cadepth_tpu.models.layers import maybe_remat, pad_to_match
+from cadepth_tpu.models.layers import (apply_norm, maybe_remat,
+                                       pad_to_match, upsample2x)
 
 
 class FiLMDoubleConv(nn.Module):
@@ -27,20 +28,19 @@ class FiLMDoubleConv(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, camera_params, train: bool = False):
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                         name="bn1")(x).astype(self.dtype)
+        x = apply_norm(x, self.norm, train, "bn1", self.dtype)
         x = nn.relu(x)
         x = FiLMLayer(self.features, dtype=self.dtype, name="film")(
             x, camera_params, train)
         x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                         name="bn2")(x).astype(self.dtype)
+        x = apply_norm(x, self.norm, train, "bn2", self.dtype)
         return nn.relu(x)
 
 
@@ -49,11 +49,13 @@ class FiLMEncoderBlock(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, camera_params, train: bool = False):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return FiLMDoubleConv(self.features, self.dtype, name="conv")(
+        return FiLMDoubleConv(self.features, self.dtype, self.norm,
+                              name="conv")(
             x, camera_params, train)
 
 
@@ -62,14 +64,16 @@ class FiLMDecoderBlock(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
+    upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, x, skip, camera_params, train: bool = False):
-        x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
-                             dtype=self.dtype, name="up")(x)
+        x = upsample2x(x, self.features, self.upsample, self.dtype, "up")
         x = pad_to_match(x, skip)
         x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
-        return FiLMDoubleConv(self.features, self.dtype, name="conv")(
+        return FiLMDoubleConv(self.features, self.dtype, self.norm,
+                              name="conv")(
             x, camera_params, train)
 
 
@@ -86,6 +90,8 @@ class IntrinsicsConditionedUNet(nn.Module):
     max_depth: float = 10.0
     remat: Any = False
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
+    decoder_upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, rgb, camera_intrinsics, train: bool = False):
@@ -93,6 +99,7 @@ class IntrinsicsConditionedUNet(nn.Module):
         h, w = rgb.shape[1], rgb.shape[2]
         cam = normalize_k4(camera_intrinsics, width=w, height=h)
         x = rgb.astype(self.dtype)
+        nm, up = self.norm, self.decoder_upsample
         DC = maybe_remat(FiLMDoubleConv, (3,), self.remat)
         Enc = maybe_remat(FiLMEncoderBlock, (3,), self.remat)
         Dec = maybe_remat(FiLMDecoderBlock, (4,), self.remat)
@@ -101,17 +108,18 @@ class IntrinsicsConditionedUNet(nn.Module):
         DecLo = maybe_remat(FiLMDecoderBlock, (4,), self.remat,
                             highres_block=False)
 
-        skip1 = DC(f, self.dtype, name="enc1")(x, cam, train)
-        skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, cam, train)
-        skip3 = EncLo(f * 4, self.dtype, name="enc3")(skip2, cam, train)
-        skip4 = EncLo(f * 8, self.dtype, name="enc4")(skip3, cam, train)
+        skip1 = DC(f, self.dtype, nm, name="enc1")(x, cam, train)
+        skip2 = Enc(f * 2, self.dtype, nm, name="enc2")(skip1, cam, train)
+        skip3 = EncLo(f * 4, self.dtype, nm, name="enc3")(skip2, cam, train)
+        skip4 = EncLo(f * 8, self.dtype, nm, name="enc4")(skip3, cam, train)
 
-        x = EncLo(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
+        x = EncLo(f * 16, self.dtype, nm,
+                  name="bottleneck")(skip4, cam, train)
 
-        x = DecLo(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
-        x = DecLo(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
-        x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, cam, train)
-        x = Dec(f, self.dtype, name="dec1")(x, skip1, cam, train)
+        x = DecLo(f * 8, self.dtype, nm, up, name="dec4")(x, skip4, cam, train)
+        x = DecLo(f * 4, self.dtype, nm, up, name="dec3")(x, skip3, cam, train)
+        x = Dec(f * 2, self.dtype, nm, up, name="dec2")(x, skip2, cam, train)
+        x = Dec(f, self.dtype, nm, up, name="dec1")(x, skip1, cam, train)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
             x.astype(jnp.float32))
@@ -127,6 +135,8 @@ class IntrinsicsAttentionUNet(nn.Module):
     max_depth: float = 10.0
     remat: Any = False
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
+    decoder_upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, rgb, camera_intrinsics, train: bool = False):
@@ -134,6 +144,7 @@ class IntrinsicsAttentionUNet(nn.Module):
         h, w = rgb.shape[1], rgb.shape[2]
         cam = normalize_k4(camera_intrinsics, width=w, height=h)
         x = rgb.astype(self.dtype)
+        nm, up = self.norm, self.decoder_upsample
         DC = maybe_remat(FiLMDoubleConv, (3,), self.remat)
         Enc = maybe_remat(FiLMEncoderBlock, (3,), self.remat)
         Dec = maybe_remat(FiLMDecoderBlock, (4,), self.remat)
@@ -142,20 +153,21 @@ class IntrinsicsAttentionUNet(nn.Module):
         DecLo = maybe_remat(FiLMDecoderBlock, (4,), self.remat,
                             highres_block=False)
 
-        skip1 = DC(f, self.dtype, name="enc1")(x, cam, train)
-        skip2 = Enc(f * 2, self.dtype, name="enc2")(skip1, cam, train)
-        skip3 = EncLo(f * 4, self.dtype, name="enc3")(skip2, cam, train)
-        skip4 = EncLo(f * 8, self.dtype, name="enc4")(skip3, cam, train)
+        skip1 = DC(f, self.dtype, nm, name="enc1")(x, cam, train)
+        skip2 = Enc(f * 2, self.dtype, nm, name="enc2")(skip1, cam, train)
+        skip3 = EncLo(f * 4, self.dtype, nm, name="enc3")(skip2, cam, train)
+        skip4 = EncLo(f * 8, self.dtype, nm, name="enc4")(skip3, cam, train)
 
-        x = EncLo(f * 16, self.dtype, name="bottleneck")(skip4, cam, train)
+        x = EncLo(f * 16, self.dtype, nm,
+                  name="bottleneck")(skip4, cam, train)
 
-        x = DecLo(f * 8, self.dtype, name="dec4")(x, skip4, cam, train)
+        x = DecLo(f * 8, self.dtype, nm, up, name="dec4")(x, skip4, cam, train)
         x = CBAM(f * 8, dtype=self.dtype, name="att4")(x)
-        x = DecLo(f * 4, self.dtype, name="dec3")(x, skip3, cam, train)
+        x = DecLo(f * 4, self.dtype, nm, up, name="dec3")(x, skip3, cam, train)
         x = CBAM(f * 4, dtype=self.dtype, name="att3")(x)
-        x = Dec(f * 2, self.dtype, name="dec2")(x, skip2, cam, train)
+        x = Dec(f * 2, self.dtype, nm, up, name="dec2")(x, skip2, cam, train)
         x = CBAM(f * 2, dtype=self.dtype, name="att2")(x)
-        x = Dec(f, self.dtype, name="dec1")(x, skip1, cam, train)
+        x = Dec(f, self.dtype, nm, up, name="dec1")(x, skip1, cam, train)
         x = CBAM(f, dtype=self.dtype, name="att1")(x)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(

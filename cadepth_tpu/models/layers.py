@@ -13,7 +13,57 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def apply_norm(x, kind: str, train: bool, name: str, out_dtype):
+    """Per-block normalization, compute in fp32, output cast to ``out_dtype``.
+
+    ``kind``:
+      * "batch" — BatchNorm, the reference's choice everywhere
+        (`baseline_unet.h:24,29`); statistics fp32, sync across replicas
+        under jit-SPMD.
+      * "group" — GroupNorm(32-or-fewer groups), an opt-in experiment:
+        no batch statistics to accumulate, so the conv epilogue loses the
+        fp32 sum/sum-sq outputs that ride every conv on the BN path
+        (PERF_NOTES.md profiles ~64% of step time in conv+BN-statistic
+        fusions) and no batch_stats state exists. Quality must be
+        re-validated per config (scripts/convergence_demo.sh).
+    """
+    if kind == "batch":
+        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
+                         name=name)(x)
+    elif kind == "group":
+        x = nn.GroupNorm(num_groups=min(32, x.shape[-1]), dtype=jnp.float32,
+                         name=name)(x)
+    else:
+        raise ValueError(f"Unknown norm kind: {kind!r}")
+    return x.astype(out_dtype)
+
+
+def upsample2x(x, features: int, mode: str, dtype, name: str):
+    """2x decoder upsampling.
+
+    ``mode``:
+      * "transpose" — ConvTranspose 2x2 stride 2, reference parity
+        (`baseline_unet.h:78`).
+      * "resize" — nearest 2x resize + Conv3x3, an opt-in experiment:
+        transpose convs lower to padded/strided convs on TPU and are a
+        named cost in the 50%-of-peak ceiling analysis (PERF_NOTES.md);
+        resize+conv puts the same FLOPs through a dense MXU-friendly
+        conv instead. Changes parameters (3x3 vs 2x2 kernel) — not
+        checkpoint-compatible with transpose mode.
+    """
+    if mode == "transpose":
+        return nn.ConvTranspose(features, (2, 2), strides=(2, 2),
+                                dtype=dtype, name=name)(x)
+    if mode == "resize":
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(features, (3, 3), padding=1, dtype=dtype,
+                       name=name)(x)
+    raise ValueError(f"Unknown decoder_upsample mode: {mode!r}")
 
 
 class DoubleConv(nn.Module):
@@ -21,16 +71,16 @@ class DoubleConv(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for i in range(2):
             x = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
                         dtype=self.dtype, name=f"conv{i + 1}")(x)
-            # BN statistics in fp32, activations stored in compute dtype —
-            # the cast fuses into the BN kernel and halves HBM traffic.
-            x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
-                             name=f"bn{i + 1}")(x).astype(self.dtype)
+            # Norm statistics in fp32, activations stored in compute dtype —
+            # the cast fuses into the norm kernel and halves HBM traffic.
+            x = apply_norm(x, self.norm, train, f"bn{i + 1}", self.dtype)
             x = nn.relu(x)
         return x
 
@@ -40,11 +90,13 @@ class EncoderBlock(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        return DoubleConv(self.features, self.dtype, name="conv")(x, train)
+        return DoubleConv(self.features, self.dtype, self.norm,
+                          name="conv")(x, train)
 
 
 def maybe_remat(cls, static_argnums, enable, highres_block: bool = True):
@@ -99,11 +151,13 @@ class DecoderBlock(nn.Module):
 
     features: int
     dtype: Any = jnp.bfloat16
+    norm: str = "batch"
+    upsample: str = "transpose"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
-        x = nn.ConvTranspose(self.features, (2, 2), strides=(2, 2),
-                             dtype=self.dtype, name="up")(x)
+        x = upsample2x(x, self.features, self.upsample, self.dtype, "up")
         x = pad_to_match(x, skip)
         x = jnp.concatenate([skip, x.astype(skip.dtype)], axis=-1)
-        return DoubleConv(self.features, self.dtype, name="conv")(x, train)
+        return DoubleConv(self.features, self.dtype, self.norm,
+                          name="conv")(x, train)

@@ -186,6 +186,79 @@ def test_baseline_unet_param_count_matches_reference():
     assert 30e6 < n < 32e6, n
 
 
+@pytest.mark.parametrize("norm,upsample", [("group", "transpose"),
+                                           ("batch", "resize"),
+                                           ("group", "resize")])
+def test_baseline_unet_experiment_knobs(rng, norm, upsample):
+    """norm=group / decoder_upsample=resize opt-ins (VERDICT r2 item 4):
+    valid outputs, gradients flow, and group-norm leaves no batch
+    statistics behind."""
+    rgb, _, _ = make_inputs(rng)
+    model = BaselineUNet(init_features=8, dtype=jnp.float32, norm=norm,
+                         decoder_upsample=upsample)
+    variables = model.init(jax.random.PRNGKey(0), rgb)
+    out = model.apply(variables, rgb)
+    o = np.asarray(out)
+    assert out.shape == (B, H, W, 1)
+    assert np.isfinite(o).all() and (o >= 0).all() and (o <= MAX_DEPTH).all()
+    if norm == "group":
+        assert "batch_stats" not in variables
+
+    def loss(params):
+        return jnp.sum(model.apply(
+            {"params": params, **{k: v for k, v in variables.items()
+                                  if k != "params"}}, rgb, train=True,
+            mutable=["batch_stats"])[0] ** 2)
+
+    grads = jax.grad(loss)(variables["params"])
+    gmax = max(float(jnp.abs(g).max())
+               for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gmax) and gmax > 0
+
+
+def test_geometry_experiment_knobs_train_step(rng):
+    """The flagship accepts the experiment knobs end to end (factory +
+    train step + no-batch-stats state plumbing for norm=group)."""
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.training.train_state import (
+        build_model_and_loss,
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+    from cadepth_tpu.training.schedule import build_lr_schedule
+
+    rgb, rays, k4 = make_inputs(rng)
+    k = np.tile(np.array([[[300.0, 0, W / 2], [0, 300.0, H / 2], [0, 0, 1]]],
+                         np.float32), (B, 1, 1))
+    batch = {"rgb": rgb, "depth": jnp.ones((B, H, W, 1)) * 2.0,
+             "intrinsics": jnp.asarray(k), "k4": k4}
+    cfg = config_from_dict({
+        "model": {"architecture": "geometry_aware_lightweight",
+                  "init_features": 4, "norm": "group",
+                  "decoder_upsample": "resize"},
+        "training": {"batch_size": B, "use_amp": False},
+        "optimization": {"lr_scheduler": "none", "lr_warmup_epochs": 0},
+    })
+    model, loss_fn = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization,
+                         build_lr_schedule(cfg.optimization, 10, 10))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(cfg, model, loss_fn, tx, donate=False)
+    state2, logs = step(state, batch)
+    assert np.isfinite(float(logs["total_loss"]))
+    assert int(state2.step) == 1
+
+
+def test_config_rejects_bad_experiment_knobs():
+    from cadepth_tpu.config import config_from_dict
+
+    with pytest.raises(ValueError, match="norm"):
+        config_from_dict({"model": {"norm": "layer"}})
+    with pytest.raises(ValueError, match="decoder_upsample"):
+        config_from_dict({"model": {"decoder_upsample": "pixelshuffle"}})
+
+
 def test_intrinsics_unet_conditioning_sensitivity(rng):
     # Different K must produce different depth (test_models.cpp:248-288).
     rgb, _, k4 = make_inputs(rng)
