@@ -149,3 +149,93 @@ def test_spatial_sharding_matches_single_device(dataset_batch_factory=None):
         np.testing.assert_allclose(np.asarray(ls, np.float32),
                                    np.asarray(lr, np.float32),
                                    atol=5e-3)
+
+
+def test_dp_loss_trajectory_50_steps(tmp_path):
+    """VERDICT r2 item 10: DP-4 and single-device runs fed IDENTICAL
+    batches from the sharded device-resident HBM feed must track the
+    same loss trajectory over 50 steps — optimizer + warmup/cosine
+    schedule + on-device augmentation interacting over time, not just
+    one step. fp32 + SGD so reduction-order noise stays bounded."""
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.data import (
+        DeviceDataset,
+        PackedSunRGBDLoader,
+        generate_synthetic_dataset,
+        pack_dataset,
+    )
+    from cadepth_tpu.training.schedule import build_lr_schedule
+    from cadepth_tpu.training.train_state import (
+        build_model_and_loss,
+        build_optimizer,
+        create_train_state,
+        make_train_step,
+    )
+
+    manifest = generate_synthetic_dataset(
+        str(tmp_path), images_per_sensor=3, seed=7, structured=True,
+        sensor_specs={s: (64, 48, 64, 48)
+                      for s in ("kv1", "kv2", "realsense", "xtion")})
+    pack_dataset(f"{tmp_path}/sunrgbd", manifest, str(tmp_path / "packed"),
+                 target_height=48, target_width=64, num_threads=4)
+    loader = PackedSunRGBDLoader(str(tmp_path / "packed"), split="train",
+                                 compute_rays=True, rays_on_device=True)
+    loader.enable_augmentation(loader.aug_config)
+
+    cfg = config_from_dict({
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+        "optimization": {"optimizer": "sgd", "learning_rate": 1e-2,
+                         "lr_scheduler": "cosine", "lr_warmup_epochs": 2},
+        "training": {"batch_size": 8, "use_amp": False},
+        "data": {"compute_rays": True},
+    })
+    model, loss_fn = build_model_and_loss(cfg)
+    steps_per_epoch = 1  # 12 samples / (4 shards * 2 local) -> 1 batch/epoch
+    tx = build_optimizer(cfg.optimization,
+                         build_lr_schedule(cfg.optimization, steps_per_epoch,
+                                           50))
+    step = make_train_step(cfg, model, loss_fn, tx, donate=False)
+
+    mesh = make_mesh(4)
+    ds = DeviceDataset(loader, mesh=mesh)
+
+    # One stream of 50 sharded-feed batches (fresh shuffle + fresh
+    # augmentation draws each epoch); the single-device twin consumes
+    # byte-identical host copies of the same batches.
+    dp_batches, host_batches = [], []
+    epoch = 0
+    while len(dp_batches) < 50:
+        for b in ds.batches(8, shuffle=True, seed=5, epoch=epoch,
+                            augment=True):
+            dp_batches.append(b)
+            host_batches.append({k: jnp.asarray(np.asarray(v))
+                                 for k, v in b.items()})
+            if len(dp_batches) == 50:
+                break
+        epoch += 1
+
+    init_batch = host_batches[0]
+    state_dp = replicate_state(
+        create_train_state(cfg, model, tx, jax.random.PRNGKey(0), init_batch),
+        mesh)
+    state_1 = create_train_state(cfg, model, tx, jax.random.PRNGKey(0),
+                                 init_batch)
+
+    traj_dp, traj_1 = [], []
+    for b_dp, b_1 in zip(dp_batches, host_batches):
+        state_dp, logs_dp = step(state_dp, b_dp)
+        state_1, logs_1 = step(state_1, b_1)
+        traj_dp.append(float(logs_dp["total_loss"]))
+        traj_1.append(float(logs_1["total_loss"]))
+
+    traj_dp = np.asarray(traj_dp)
+    traj_1 = np.asarray(traj_1)
+    assert np.isfinite(traj_dp).all() and np.isfinite(traj_1).all()
+    # training must actually move (schedule past warmup, loss falling)
+    assert traj_1[-5:].mean() < traj_1[:5].mean()
+    # trajectories track within reduction-order noise growth
+    np.testing.assert_allclose(traj_dp, traj_1, rtol=5e-3, atol=5e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(state_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-4)
