@@ -75,6 +75,11 @@ class DataConfig:
     #                                zero per-step H2D. Needs packed_dir and
     #                                a pack at the target resolution.
     device_resident_dtype: str = "float32"  # HBM storage dtype for RGB
+    # >0: stream the pack through HBM in chunks of this many samples
+    # (double-buffered uploads) instead of holding it all resident —
+    # for packs bigger than one chip's HBM (e.g. 480x640). Identical
+    # epoch/sampling semantics to the resident path. 0 = fully resident.
+    device_resident_chunk_samples: int = 0
     #                                         ("bfloat16" halves the RGB
     #                                         footprint; depth stays fp32)
     augmentation: AugmentationYaml = dataclasses.field(default_factory=AugmentationYaml)
@@ -290,6 +295,8 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         packed_preload=bool(d.get("packed_preload", False)),
         device_resident=bool(d.get("device_resident", False)),
         device_resident_dtype=str(d.get("device_resident_dtype", "float32")),
+        device_resident_chunk_samples=int(
+            d.get("device_resident_chunk_samples", 0)),
         augmentation=AugmentationYaml(
             random_crop=bool(aug.get("random_crop", True)),
             crop_scale_min=float(aug.get("crop_scale_min", 0.7)),

@@ -8,9 +8,14 @@ from cadepth_tpu.data.sunrgbd import AugmentationConfig, SunRGBDLoader
 from cadepth_tpu.data.synthetic import generate_synthetic_dataset
 from cadepth_tpu.data.pipeline import InputPipeline
 from cadepth_tpu.data.packed import PackedSunRGBDLoader, pack_dataset
-from cadepth_tpu.data.device_resident import DeviceDataset, DevicePipeline
+from cadepth_tpu.data.device_resident import (
+    ChunkedDeviceDataset,
+    DeviceDataset,
+    DevicePipeline,
+)
 
 __all__ = [
+    "ChunkedDeviceDataset",
     "DeviceDataset",
     "DevicePipeline",
     "PackedSunRGBDLoader",

@@ -390,6 +390,185 @@ class DeviceDataset:
             yield self._gather(jnp.asarray(idx), ep, augment=augment)
 
 
+class ChunkedDeviceDataset:
+    """Chunk-rotating HBM feed for packs bigger than device memory.
+
+    The fully-resident :class:`DeviceDataset` needs the whole pack in
+    HBM (~31 GB for SUN RGB-D at 480x640 fp32 — more than one v5e's
+    16 GB). This variant streams the pack through HBM in
+    ``chunk_samples``-sample chunks with double buffering: while
+    training gathers batches from chunk k, chunk k+1's rows are already
+    uploading from the host pack on a background thread, so steady-state
+    training still sees only device-side gathers (the per-step H2D is
+    the index vector, and chunk uploads overlap compute where the
+    runtime allows).
+
+    Epoch semantics are IDENTICAL to the resident path, not an
+    approximation: each epoch draws one global permutation keyed on
+    (seed, epoch) and cuts it into consecutive chunks, so every batch
+    is the same slice of the same permutation the resident path would
+    produce, every sample appears exactly once per epoch, and the
+    augmentation keys use the same global-row fold_in streams —
+    parity-tested bit-exact against :class:`DeviceDataset` in
+    tests/test_device_resident.py.
+
+    Single-device capacity tool; for multi-chip capacity use the
+    sharded ``DeviceDataset(mesh=...)`` instead (mesh is rejected
+    here).
+    """
+
+    def __init__(self, loader, chunk_samples: int,
+                 rgb_dtype=jnp.float32, depth_dtype=jnp.float32,
+                 sharding=None):
+        if (loader.target_height, loader.target_width) != \
+                tuple(loader._rgb.shape[1:3]):
+            raise ValueError(
+                "ChunkedDeviceDataset needs a pack at the target resolution "
+                f"(pack {tuple(loader._rgb.shape[1:3])} vs target "
+                f"({loader.target_height}, {loader.target_width}))")
+        if chunk_samples < 1:
+            raise ValueError("chunk_samples must be >= 1")
+        self.height = loader.target_height
+        self.width = loader.target_width
+        self.aug_config = loader.aug_config
+        self.augmentation_enabled = loader.augmentation_enabled
+        self.split = loader.split
+        self.rows = tuple(s["row"] for s in loader.sample_paths)
+        self.chunk_samples = min(chunk_samples, len(self.rows))
+        self._rgb_dtype = rgb_dtype
+        self._depth_dtype = depth_dtype
+        self._sharding = sharding
+        # host-side pack views (memmap or preloaded RAM)
+        self._host_rgb = loader._rgb
+        self._host_depth = loader._depth
+        self._host_k = loader._intrinsics
+        self._gather = jax.jit(self._make_batch,
+                               static_argnames=("augment",))
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def nbytes(self) -> int:
+        """Per-buffer HBM footprint (x2 resident while double-buffered)."""
+        c = self.chunk_samples
+        sample = (np.dtype(self._rgb_dtype).itemsize * 3
+                  + np.dtype(self._depth_dtype).itemsize) \
+            * self.height * self.width
+        return c * (sample + 9 * 4)
+
+    def batches_per_epoch(self, batch_size: int,
+                          max_samples: Optional[int] = None,
+                          drop_remainder: bool = True) -> int:
+        n = len(self.rows)
+        if max_samples is not None:
+            n = min(n, max_samples)
+        return n // batch_size if drop_remainder else -(-n // batch_size)
+
+    # -- upload + jitted batch assembly ---------------------------------
+
+    def _upload(self, order_slice: np.ndarray) -> Dict[str, jax.Array]:
+        """Assemble + device_put one chunk (runs on the prefetch thread).
+
+        ``order_slice`` holds global dataset positions (0..n-1); rows
+        maps them to pack rows. Returns device buffers plus the global
+        ids the augmentation streams key on.
+        """
+        rows = np.asarray([self.rows[i] for i in order_slice])
+        put = (jax.device_put if self._sharding is None
+               else functools.partial(jax.device_put,
+                                      device=self._sharding))
+        return {
+            "rgb": put(np.asarray(self._host_rgb[rows])
+                       .astype(self._rgb_dtype)),
+            "depth": put(np.asarray(self._host_depth[rows])
+                         .astype(self._depth_dtype)),
+            "k": put(np.asarray(self._host_k[rows], np.float32)),
+            "gids": put(np.asarray(order_slice, np.int32)),
+        }
+
+    def _make_batch(self, rgb_buf, depth_buf, k_buf, gid_buf,
+                    idx: jax.Array, epoch: jax.Array,
+                    augment: bool) -> Dict[str, jax.Array]:
+        rgb = jnp.take(rgb_buf, idx, 0).astype(jnp.float32)
+        depth = jnp.take(depth_buf, idx, 0).astype(jnp.float32)
+        k = jnp.take(k_buf, idx, 0)
+        if augment:
+            cfg = self.aug_config
+            gids = jnp.take(gid_buf, idx, 0)
+            base = jax.random.fold_in(
+                jax.random.PRNGKey(cfg.random_seed), epoch)
+            keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(gids)
+            rgb, depth, k = jax.vmap(
+                functools.partial(_augment_one, height=self.height,
+                                  width=self.width, cfg=cfg)
+            )(rgb, depth, k, keys)
+        return {"rgb": rgb, "depth": depth, "intrinsics": k, "k4": _k4(k)}
+
+    # -- epoch iteration -------------------------------------------------
+
+    def batches(self, batch_size: int, *, shuffle: bool = True,
+                seed: int = 0, epoch: int = 0, augment: bool = False,
+                drop_remainder: bool = True,
+                max_samples: Optional[int] = None,
+                ) -> Iterator[Dict[str, jax.Array]]:
+        """Same contract (and identical sample stream) as
+        ``DeviceDataset.batches``; see the class docstring."""
+        import queue
+        import threading
+
+        n = len(self.rows)
+        if max_samples is not None:
+            n = min(n, max_samples)
+        order = np.arange(n)
+        if shuffle:
+            np.random.default_rng([seed, epoch]).shuffle(order)
+        # chunk boundary must not split a batch, or batch composition
+        # would diverge from the resident path
+        c = max(self.chunk_samples - self.chunk_samples % batch_size,
+                batch_size)
+        chunk_slices = [order[s:s + c] for s in range(0, n, c)]
+
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def producer():
+            for sl in chunk_slices:
+                q.put(self._upload(sl))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        ep = jnp.int32(epoch)
+        emitted = 0
+        total = (n // batch_size if drop_remainder
+                 else -(-n // batch_size))
+        buf = q.get()
+        while buf is not None:
+            c_len = int(buf["gids"].shape[0])
+            num = c_len // batch_size
+            tail = c_len % batch_size
+            for b in range(num):
+                if emitted >= total:
+                    break
+                idx = np.arange(b * batch_size, (b + 1) * batch_size)
+                yield self._gather(buf["rgb"], buf["depth"], buf["k"],
+                                   buf["gids"], jnp.asarray(idx, jnp.int32),
+                                   ep, augment=augment)
+                emitted += 1
+            if tail and not drop_remainder and emitted < total:
+                # pad the gather within the chunk, trim the outputs
+                idx = np.concatenate([
+                    np.arange(num * batch_size, c_len),
+                    np.zeros(batch_size - tail, np.int64)])
+                batch = self._gather(buf["rgb"], buf["depth"], buf["k"],
+                                     buf["gids"],
+                                     jnp.asarray(idx, jnp.int32),
+                                     ep, augment=augment)
+                yield {k: v[:tail] for k, v in batch.items()}
+                emitted += 1
+            buf = q.get()
+        t.join()
+
+
 class DevicePipeline:
     """InputPipeline-compatible facade over a :class:`DeviceDataset`
     (``__len__`` = batches/epoch, ``__iter__`` advances the epoch)."""

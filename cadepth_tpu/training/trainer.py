@@ -146,6 +146,7 @@ class Trainer:
         import jax.numpy as jnp
 
         from cadepth_tpu.data.device_resident import (
+            ChunkedDeviceDataset,
             DeviceDataset,
             DevicePipeline,
         )
@@ -158,6 +159,28 @@ class Trainer:
                 "with cli/pack_dataset.py)")
         dtype = (jnp.bfloat16 if cfg.data.device_resident_dtype == "bfloat16"
                  else jnp.float32)
+        chunk = cfg.data.device_resident_chunk_samples
+        if chunk > 0:
+            # pack bigger than HBM: rotate it through two chunk buffers
+            # (same epoch semantics as fully-resident, see the class)
+            if self.mesh is not None:
+                raise ValueError(
+                    "device_resident_chunk_samples is the single-device "
+                    "capacity mode; on a mesh use the sharded resident "
+                    "dataset instead (it splits the pack across chips)")
+            ds_kw = dict(rgb_dtype=dtype, depth_dtype=jnp.float32)
+            train_ds = ChunkedDeviceDataset(self.train_loader, chunk, **ds_kw)
+            val_ds = ChunkedDeviceDataset(self.val_loader, chunk, **ds_kw)
+            self.train_pipe = DevicePipeline(
+                train_ds, cfg.training.batch_size, shuffle=True,
+                seed=cfg.experiment.seed,
+                max_samples=debug_limits.get("num_train_samples"))
+            self.val_pipe = DevicePipeline(
+                val_ds, cfg.training.batch_size, shuffle=False,
+                seed=cfg.experiment.seed,
+                max_samples=debug_limits.get(
+                    "num_val_samples", cfg.training.max_val_samples))
+            return
         # Under a mesh the dataset itself is sharded along the data axis
         # (each chip holds len/n samples and gathers locally); otherwise
         # one device holds everything. bfloat16 storage applies to RGB

@@ -363,6 +363,61 @@ def test_geometry_device_resident_without_compute_rays(pack_dir, tmp_path):
     tr.close()
 
 
+def test_chunked_matches_resident_bit_exact(pack_dir):
+    """Chunk-rotating mode must produce the SAME epoch stream as the
+    fully-resident dataset — same permutation slices, same augmentation
+    key streams — for both augment settings and ragged tails."""
+    from cadepth_tpu.data import ChunkedDeviceDataset
+
+    loader, ds = make_ds(pack_dir)
+    loader.enable_augmentation(loader.aug_config)
+    chunked = ChunkedDeviceDataset(loader, chunk_samples=5)  # -> 4/batch=4
+    for augment in (False, True):
+        for drop in (True, False):
+            want = list(ds.batches(4, shuffle=True, seed=9, epoch=2,
+                                   augment=augment, drop_remainder=drop))
+            got = list(chunked.batches(4, shuffle=True, seed=9, epoch=2,
+                                       augment=augment, drop_remainder=drop))
+            assert len(got) == len(want)
+            for bw, bg in zip(want, got):
+                for k in bw:
+                    np.testing.assert_array_equal(
+                        np.asarray(bw[k]), np.asarray(bg[k]),
+                        err_msg=f"{k} augment={augment} drop={drop}")
+
+
+def test_chunked_trainer_smoke(pack_dir, tmp_path):
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.data import ChunkedDeviceDataset
+    from cadepth_tpu.training.trainer import Trainer
+
+    cfg = config_from_dict({
+        "experiment": {"name": "devres_chunked", "seed": 0},
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+        "data": {"packed_dir": pack_dir, "device_resident": True,
+                 "device_resident_chunk_samples": 8,
+                 "input_height": 48, "input_width": 64,
+                 "compute_rays": True,
+                 "augmentation": {"random_crop": True,
+                                  "horizontal_flip": True,
+                                  "color_jitter": True}},
+        "training": {"batch_size": 4, "num_epochs": 2, "use_amp": True},
+        "optimization": {"learning_rate": 1e-3, "lr_scheduler": "none",
+                         "lr_warmup_epochs": 0},
+        "checkpointing": {"checkpoint_dir": str(tmp_path / "ckpt")},
+        "logging": {"log_dir": str(tmp_path / "logs"),
+                    "tensorboard": {"enabled": False}},
+        "validation": {"interval": 1},
+        # chunked mode is the single-device capacity tool (mesh raises)
+        "hardware": {"data_parallel": False},
+    })
+    tr = Trainer(cfg)
+    assert isinstance(tr.train_pipe.dataset, ChunkedDeviceDataset)
+    tr.train()
+    assert np.isfinite(tr.best_metric)
+    tr.close()
+
+
 def test_device_resident_requires_pack_resolution(pack_dir):
     loader = PackedSunRGBDLoader(pack_dir, split="train", target_height=32,
                                  target_width=32, rays_on_device=True)
