@@ -168,13 +168,82 @@ class Predictor:
     def predict(self, rgb: np.ndarray,
                 intrinsics: Optional[np.ndarray] = None) -> np.ndarray:
         """rgb (N, H, W, 3) float [0,1], optional K (N, 3, 3) ->
-        depth (N, H, W, 1) meters."""
+        depth (N, H, W, 1) meters.
+
+        ``rgb`` may also be a device-resident ``jax.Array`` already at
+        the compiled (batch, H, W, 3) shape (with ``intrinsics`` a
+        device (batch, 3, 3)); then no host staging or H2D happens at
+        all — the path for callers whose frames are already on device.
+        """
+        if isinstance(rgb, jax.Array) and not isinstance(rgb, np.ndarray):
+            out = self._compiled(self.state,
+                                 self._device_batch(rgb, intrinsics))
+            return np.asarray(out)
         rgb = np.asarray(rgb, np.float32)
         if rgb.ndim == 3:
             rgb = rgb[None]
         n = rgb.shape[0]
         out = self._compiled(self.state, self._make_batch(rgb, intrinsics))
         return np.asarray(out)[:n]
+
+    def _device_batch(self, rgb, intrinsics) -> Dict[str, jax.Array]:
+        want = self._shapes["rgb"].shape
+        if tuple(rgb.shape) != want:
+            raise ValueError(f"device input must be the compiled shape "
+                             f"{want}, got {tuple(rgb.shape)}")
+        if intrinsics is None:
+            if not hasattr(self, "_default_k_dev"):
+                k4 = _default_k4(self.batch_size, self.height, self.width)
+                k = np.tile(np.eye(3, dtype=np.float32),
+                            (self.batch_size, 1, 1))
+                k[:, 0, 0], k[:, 1, 1] = k4[:, 0], k4[:, 1]
+                k[:, 0, 2], k[:, 1, 2] = k4[:, 2], k4[:, 3]
+                self._default_k_dev = jax.device_put(
+                    {"intrinsics": k, "k4": k4})
+            kd = self._default_k_dev
+            batch = {"rgb": rgb, **kd}
+        else:
+            k4 = jnp.stack([intrinsics[:, 0, 0], intrinsics[:, 1, 1],
+                            intrinsics[:, 0, 2], intrinsics[:, 1, 2]], -1)
+            batch = {"rgb": rgb, "intrinsics": intrinsics, "k4": k4}
+        if not self._derive_rays:
+            raise ValueError("device-input path needs data.compute_rays "
+                             "(rays are derived on device)")
+        return batch
+
+    def predict_stream(self, requests, depth: int = 2):
+        """Pipelined serving over an iterable of requests.
+
+        Each request is ``rgb`` or ``(rgb, intrinsics)``. Keeps up to
+        ``depth`` requests in flight: request k+1's host staging + H2D
+        upload + dispatch happen while request k still executes on
+        device (JAX dispatch is asynchronous — the serial predict()
+        loop instead blocks on every D2H readback before the next
+        upload starts, paying the full transfer round trip per request;
+        see PERF_NOTES.md serving note). Yields (N, H, W, 1) numpy
+        depth maps in request order.
+        """
+        from collections import deque
+
+        inflight: "deque" = deque()
+        for req in requests:
+            rgb, k = req if isinstance(req, tuple) else (req, None)
+            if isinstance(rgb, jax.Array) and not isinstance(rgb, np.ndarray):
+                out = self._compiled(self.state, self._device_batch(rgb, k))
+                n = rgb.shape[0]
+            else:
+                rgb = np.asarray(rgb, np.float32)
+                if rgb.ndim == 3:
+                    rgb = rgb[None]
+                n = rgb.shape[0]
+                out = self._compiled(self.state, self._make_batch(rgb, k))
+            inflight.append((out, n))
+            while len(inflight) >= max(depth, 1):
+                o, m = inflight.popleft()
+                yield np.asarray(o)[:m]
+        while inflight:
+            o, m = inflight.popleft()
+            yield np.asarray(o)[:m]
 
     # -- deployment artifact --------------------------------------------------
 

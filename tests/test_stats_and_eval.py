@@ -213,6 +213,19 @@ def test_predictor_aot_serving(tmp_path):
     assert stats["p99_ms"] >= stats["p50_ms"] > 0
     assert stats["images_per_sec"] > 0
 
+    # pipelined streaming keeps order and matches serial predict
+    reqs = [rgb, rgb[:2], (rgb, np.tile(np.eye(3, dtype=np.float32),
+                                        (4, 1, 1)))]
+    outs = list(predictor.predict_stream(iter(reqs), depth=2))
+    assert [o.shape[0] for o in outs] == [4, 2, 4]
+    np.testing.assert_allclose(outs[0], out, atol=1e-6)
+    np.testing.assert_allclose(outs[1], out[:2], atol=1e-5)
+
+    # device-resident input path: no host staging, same result
+    dev_rgb = jax.device_put(rgb)
+    out_dev = predictor.predict(dev_rgb)
+    np.testing.assert_allclose(out_dev, out, atol=1e-6)
+
 
 def test_predictor_stablehlo_export_roundtrip(tmp_path):
     """export_stablehlo -> load_exported executes the serialized program
