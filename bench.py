@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -35,7 +36,8 @@ HEIGHT, WIDTH = 240, 320
 WARMUP_STEPS = 5
 
 
-def _build(architecture: str, batch: int, **model_kw):
+def _build(architecture: str, batch: int, height: int = None,
+           width: int = None, **model_kw):
     import jax
 
     from cadepth_tpu.config import config_from_dict
@@ -58,7 +60,7 @@ def _build(architecture: str, batch: int, **model_kw):
     model, loss_fn = build_model_and_loss(cfg)
     tx = build_optimizer(cfg.optimization,
                          build_lr_schedule(cfg.optimization, 100, 100))
-    host_batch = _example_batch(batch, HEIGHT, WIDTH)
+    host_batch = _example_batch(batch, height or HEIGHT, width or WIDTH)
     batch_dev = {k: jax.device_put(v) for k, v in host_batch.items()}
     state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch_dev)
     train_step = make_train_step(cfg, model, loss_fn, tx, donate=True)
@@ -157,32 +159,46 @@ def bench_pipeline_fed(batch: int, steps: int, packed: bool = False):
 
 
 def bench_device_resident(batch: int, steps: int, augment: bool = True,
-                          windows: int = 1):
+                          windows: int = 1, height: int = HEIGHT,
+                          width: int = WIDTH, chunk_samples: int = 0,
+                          images_per_sensor: Optional[int] = None):
     """Train loop fed by the HBM-resident dataset: per-step H2D is a
     (B,) int32 index vector; gather + on-device augmentation run inside
     jitted programs. The TPU-native answer to host/interconnect-bound
-    feeding (PERF_NOTES 'Fed-loop pathology')."""
+    feeding (PERF_NOTES 'Fed-loop pathology').
+
+    ``chunk_samples > 0`` benches the chunk-rotating mode instead (the
+    capacity path for packs bigger than HBM): chunk k+1 uploads on a
+    background thread while training gathers from chunk k."""
     import tempfile
 
     from cadepth_tpu.data import generate_synthetic_dataset
-    from cadepth_tpu.data.device_resident import DeviceDataset, DevicePipeline
+    from cadepth_tpu.data.device_resident import (
+        ChunkedDeviceDataset,
+        DeviceDataset,
+        DevicePipeline,
+    )
     from cadepth_tpu.data.packed import PackedSunRGBDLoader, pack_dataset
 
     cfg, state, train_step, _ = _build("baseline_unet", batch,
-                                       init_features=64)
+                                       init_features=64,
+                                       height=height, width=width)
     with tempfile.TemporaryDirectory() as tmp:
-        n_images = max(4 * batch // 4, 2)
+        n_images = images_per_sensor or max(4 * batch // 4, 2)
         manifest = generate_synthetic_dataset(
             tmp, images_per_sensor=n_images, seed=0, structured=True,
-            sensor_specs={s: (WIDTH, HEIGHT, WIDTH, HEIGHT)
+            sensor_specs={s: (width, height, width, height)
                           for s in ("kv1", "kv2", "realsense", "xtion")})
         pack_dataset(f"{tmp}/sunrgbd", manifest, f"{tmp}/packed",
-                     target_height=HEIGHT, target_width=WIDTH, num_threads=8)
+                     target_height=height, target_width=width, num_threads=8)
         loader = PackedSunRGBDLoader(f"{tmp}/packed", split="train",
-                                     rays_on_device=True)
+                                     rays_on_device=True, preload=True)
         if augment:
             loader.enable_augmentation(loader.aug_config)
-        ds = DeviceDataset(loader)
+        if chunk_samples > 0:
+            ds = ChunkedDeviceDataset(loader, chunk_samples)
+        else:
+            ds = DeviceDataset(loader)
         pipe = DevicePipeline(ds, batch, shuffle=True, seed=0)
 
         def endless():
@@ -323,6 +339,25 @@ def main() -> None:
         detail["baseline_unet_packed_fed_img_per_sec"] = round(fed_packed, 2)
     except Exception as exc:  # noqa: BLE001
         detail["packed_fed_error"] = repr(exc)
+    try:
+        # production-resolution capacity story: the full 480x640 pack
+        # cannot sit in HBM, so the chunk-rotating feed is the honest
+        # fed number to compare against the pre-staged device step
+        dstep480 = bench_device_step("baseline_unet", batch=16, steps=10,
+                                     windows=2, init_features=64,
+                                     height=480, width=640)
+        detail["baseline_unet_480x640_device_step_img_per_sec"] = \
+            round(dstep480, 2)
+        fed480 = bench_device_resident(batch=16, steps=20, augment=True,
+                                       windows=2, height=480, width=640,
+                                       chunk_samples=64,
+                                       images_per_sensor=32)
+        detail["baseline_unet_480x640_chunked_fed_img_per_sec"] = \
+            round(fed480, 2)
+        detail["chunked_fed_fraction_of_device_step"] = \
+            round(fed480 / dstep480, 3) if dstep480 else None
+    except Exception as exc:  # noqa: BLE001
+        detail["bench_480_error"] = repr(exc)
     if headline_kind == "device_resident_fed":
         detail["baseline_unet_device_resident_img_per_sec"] = round(headline, 2)
     else:

@@ -22,6 +22,9 @@ EPOCHS="${EPOCHS:-40}"
 # DEVICE_RESIDENT=1: pack the set and train from the HBM-resident
 # dataset (on-device gather + augmentation; zero per-step H2D).
 DEVICE_RESIDENT="${DEVICE_RESIDENT:-0}"
+# MODEL_EXTRA: extra inline-yaml model keys for experiment knobs, e.g.
+#   MODEL_EXTRA=', norm: "group", decoder_upsample: "resize"'
+MODEL_EXTRA="${MODEL_EXTRA:-}"
 mkdir -p "$WORKDIR"
 
 python - "$WORKDIR" <<'EOF'
@@ -55,7 +58,7 @@ data:
   split_filtering: true
   compute_rays: true$PACKED_KNOBS
   augmentation: {random_crop: false, horizontal_flip: true, color_jitter: true}
-model: {architecture: "$ARCH", init_features: 16}
+model: {architecture: "$ARCH", init_features: 16$MODEL_EXTRA}
 optimization:
   optimizer: "adamw"
   learning_rate: 5.0e-4
