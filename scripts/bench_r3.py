@@ -22,6 +22,10 @@ import time
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 def hard_sync(state):
     import jax
@@ -90,6 +94,21 @@ def run(name):
                   steps=10)),
             ("geo_f96_480x640_b8_two_pass_remat_highres",
              dict(architecture="geometry_aware", batch=8, height=480,
+                  width=640, init_features=96, pcl_warp="two_pass",
+                  remat="highres", steps=10)),
+        ]
+    elif name == "prod2":
+        cases = [
+            ("geo_f96_480x640_b12_two_pass",
+             dict(architecture="geometry_aware", batch=12, height=480,
+                  width=640, init_features=96, pcl_warp="two_pass",
+                  steps=10)),
+            ("geo_f96_480x640_b16_two_pass",
+             dict(architecture="geometry_aware", batch=16, height=480,
+                  width=640, init_features=96, pcl_warp="two_pass",
+                  steps=10)),
+            ("geo_f96_480x640_b16_two_pass_remat_highres",
+             dict(architecture="geometry_aware", batch=16, height=480,
                   width=640, init_features=96, pcl_warp="two_pass",
                   remat="highres", steps=10)),
         ]
