@@ -134,6 +134,15 @@ def run(name):
             ("base240_b16_group_resize", dict(base, norm="group",
                                               decoder_upsample="resize")),
         ]
+    elif name == "widthgeo":
+        # MXU-fill study on the flagship family: does the f64->f128
+        # FLOP-efficiency gain hold with FiLM/CBAM/PCL in the mix?
+        base = dict(architecture="geometry_aware", batch=16, height=240,
+                    width=320, pcl_warp="two_pass", steps=10)
+        cases = [
+            ("geo240_b16_f96_two_pass", dict(base, init_features=96)),
+            ("geo240_b16_f128_two_pass", dict(base, init_features=128)),
+        ]
     elif name == "width":
         cases = [
             ("base240_b16_f96", dict(architecture="baseline_unet", batch=16,

@@ -70,7 +70,10 @@ logging: {log_dir: "$WORKDIR/logs"}
 early_stopping: {enabled: false}
 EOF
 
-python cli/train.py --config "$WORKDIR/demo_config.yaml"
+# PLATFORM=cpu forces the jax platform (knob sanity runs on a busy-TPU
+# host); leave unset for the recorded on-chip protocol.
+python cli/train.py --config "$WORKDIR/demo_config.yaml" \
+    ${PLATFORM:+--platform "$PLATFORM"}
 
 DEMO_NAME="convergence_demo_$ARCH" python - "$WORKDIR" <<'EOF'
 import csv, sys

@@ -163,6 +163,33 @@ def test_round2_knobs_parse():
     assert d.checkpointing.save_on_preemption is True
 
 
+def test_all_shipped_configs_load():
+    """Every YAML in configs/ must parse through the schema (catches
+    drift when new knobs are documented in the shipped files)."""
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    files = sorted(glob.glob(os.path.join(root, "train_config*.yaml")))
+    assert len(files) >= 4
+    for f in files:
+        load_config(f)
+
+
+def test_tpu_efficient_config():
+    """The round-3 MXU-filling variant: f128 stem + device-resident
+    data (PERF_NOTES '50%-of-peak ceiling' width study)."""
+    import os
+
+    cfg = load_config(os.path.join(os.path.dirname(__file__), "..",
+                                   "configs", "train_config_tpu.yaml"))
+    assert cfg.model.architecture == "baseline_unet"
+    assert cfg.model.init_features == 128
+    assert cfg.data.device_resident is True
+    assert cfg.training.use_amp is True
+    assert cfg.optimization.lr_scheduler == "cosine"
+
+
 def test_distributed_false_disables_data_parallel():
     """ADVICE r1: 'hardware: distributed: false' must be honored."""
     from cadepth_tpu.config import config_from_dict
