@@ -161,7 +161,8 @@ def bench_pipeline_fed(batch: int, steps: int, packed: bool = False):
 def bench_device_resident(batch: int, steps: int, augment: bool = True,
                           windows: int = 1, height: int = HEIGHT,
                           width: int = WIDTH, chunk_samples: int = 0,
-                          images_per_sensor: Optional[int] = None):
+                          images_per_sensor: Optional[int] = None,
+                          quantized: bool = False):
     """Train loop fed by the HBM-resident dataset: per-step H2D is a
     (B,) int32 index vector; gather + on-device augmentation run inside
     jitted programs. The TPU-native answer to host/interconnect-bound
@@ -195,10 +196,14 @@ def bench_device_resident(batch: int, steps: int, augment: bool = True,
                                      rays_on_device=True, preload=True)
         if augment:
             loader.enable_augmentation(loader.aug_config)
+        import jax.numpy as jnp
+
+        ds_kw = ({"rgb_dtype": jnp.uint8, "depth_dtype": jnp.uint16}
+                 if quantized else {})
         if chunk_samples > 0:
-            ds = ChunkedDeviceDataset(loader, chunk_samples)
+            ds = ChunkedDeviceDataset(loader, chunk_samples, **ds_kw)
         else:
-            ds = DeviceDataset(loader)
+            ds = DeviceDataset(loader, **ds_kw)
         pipe = DevicePipeline(ds, batch, shuffle=True, seed=0)
 
         def endless():
@@ -356,6 +361,17 @@ def main() -> None:
             round(fed480, 2)
         detail["chunked_fed_fraction_of_device_step"] = \
             round(fed480 / dstep480, 3) if dstep480 else None
+        # quantized storage (rgb u8 / depth u16 mm): 3.2x less H2D per
+        # chunk — the recommended chunked setting
+        fed480q = bench_device_resident(batch=16, steps=20, augment=True,
+                                        windows=2, height=480, width=640,
+                                        chunk_samples=64,
+                                        images_per_sensor=32,
+                                        quantized=True)
+        detail["baseline_unet_480x640_chunked_quant_fed_img_per_sec"] = \
+            round(fed480q, 2)
+        detail["chunked_quant_fed_fraction_of_device_step"] = \
+            round(fed480q / dstep480, 3) if dstep480 else None
     except Exception as exc:  # noqa: BLE001
         detail["bench_480_error"] = repr(exc)
     if headline_kind == "device_resident_fed":

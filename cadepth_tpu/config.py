@@ -74,14 +74,15 @@ class DataConfig:
     #                                on-device gather (+ on-device augment);
     #                                zero per-step H2D. Needs packed_dir and
     #                                a pack at the target resolution.
-    device_resident_dtype: str = "float32"  # HBM storage dtype for RGB
+    device_resident_dtype: str = "float32"  # HBM storage: "float32" |
+    # "bfloat16" (halves RGB; depth stays fp32) | "quantized" (rgb uint8 +
+    # depth uint16 mm — the dataset's native encodings; 3.2x less HBM/H2D,
+    # depth stored mm-exact for mm-sourced packs, ±1 ulp on decode)
     # >0: stream the pack through HBM in chunks of this many samples
     # (double-buffered uploads) instead of holding it all resident —
     # for packs bigger than one chip's HBM (e.g. 480x640). Identical
     # epoch/sampling semantics to the resident path. 0 = fully resident.
     device_resident_chunk_samples: int = 0
-    #                                         ("bfloat16" halves the RGB
-    #                                         footprint; depth stays fp32)
     augmentation: AugmentationYaml = dataclasses.field(default_factory=AugmentationYaml)
 
 
@@ -251,6 +252,13 @@ def _get(d: Dict[str, Any], *path, default=None):
     return d
 
 
+def _enum(value: str, allowed, name: str) -> str:
+    if value not in allowed:
+        raise ValueError(f"{name} must be one of {'|'.join(allowed)}, "
+                         f"got {value!r}")
+    return value
+
+
 def config_from_dict(raw: Dict[str, Any]) -> Config:
     """Map the reference YAML schema onto the Config tree
     (port of `loadConfig`, `train_main.cpp:60-167`)."""
@@ -294,7 +302,9 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         packed_dir=str(d.get("packed_dir", "")),
         packed_preload=bool(d.get("packed_preload", False)),
         device_resident=bool(d.get("device_resident", False)),
-        device_resident_dtype=str(d.get("device_resident_dtype", "float32")),
+        device_resident_dtype=_enum(
+            str(d.get("device_resident_dtype", "float32")),
+            ("float32", "bfloat16", "quantized"), "device_resident_dtype"),
         device_resident_chunk_samples=int(
             d.get("device_resident_chunk_samples", 0)),
         augmentation=AugmentationYaml(

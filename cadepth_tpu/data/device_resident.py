@@ -10,9 +10,10 @@ transfers serialize behind enqueued programs — see PERF_NOTES.md
 "Fed-loop pathology").
 
 Capacity: SUN RGB-D at 240x320 is ~1.2 MB/sample fp32 (~12 GB for all
-10,335 images; ~6 GB as bf16 RGB) — fits one v5e chip's 16 GB HBM next
-to the baseline model. 480x640 packs need sharding across a mesh or
-the host pipeline.
+10,335 images; ~6 GB as bf16 RGB; ~3.7 GB quantized u8-rgb/u16-depth)
+— fits one v5e chip's 16 GB HBM next to the baseline model. 480x640
+packs need sharding across a mesh, the chunk-rotating feed, or the
+host pipeline.
 
 On-device augmentation reproduces the host loader's semantics
 (`sunrgbd.py _augment_sample/_resize_sample`, themselves parity with
@@ -44,6 +45,79 @@ from cadepth_tpu.data.sunrgbd import AugmentationConfig
 
 def _k4(k: jax.Array) -> jax.Array:
     return jnp.stack([k[:, 0, 0], k[:, 1, 1], k[:, 0, 2], k[:, 1, 2]], -1)
+
+
+# -- quantized HBM storage -------------------------------------------------
+#
+# rgb uint8 (x255) and depth uint16 (x1000, millimeters) are the DATASET'S
+# OWN native encodings: SUN RGB-D ships 8-bit RGB and 16-bit mm-depth PNGs
+# (sunrgbd_loader.cpp:221-259 decodes exactly these), so depth values that
+# came through the pack's nearest-neighbor resize store their EXACT
+# millimeter value (the fp32 materialization is within 1 ulp of the host
+# loader's `mm / 1000.0` — XLA strength-reduces the jitted divide), and
+# RGB is within 1/510 of the fp32 pack value (the only loss is the pack's
+# bilinear first resize no longer being carried at fp32). 3.2x less HBM
+# and 3.2x less H2D than fp32 storage; the jitted gather dequantizes to
+# fp32 before augmentation, so all downstream math is unchanged.
+
+_DEPTH_QUANT_SCALE = 1000.0    # meters -> millimeters
+_DEPTH_QUANT_MAX = 65535.0 / _DEPTH_QUANT_SCALE
+
+
+def _is_quant_rgb(dtype) -> bool:
+    return np.dtype(dtype) == np.uint8
+
+
+def _is_quant_depth(dtype) -> bool:
+    return np.dtype(dtype) == np.uint16
+
+
+def _host_encode_rgb(block: np.ndarray, out: np.ndarray) -> None:
+    """fp pack rgb [0,1] -> uint8, round-half-up like the decode was."""
+    b = np.asarray(block, np.float32) * 255.0
+    np.rint(b, out=b)
+    out[...] = b          # exact integers; cast is value-preserving
+
+
+def _host_encode_depth(block: np.ndarray, out: np.ndarray) -> None:
+    b = np.clip(np.asarray(block, np.float32), 0.0, _DEPTH_QUANT_MAX)
+    b *= _DEPTH_QUANT_SCALE
+    np.rint(b, out=b)
+    out[...] = b
+
+
+def _encode_rows(src, rows, dtype, encode, step: int = 64) -> np.ndarray:
+    """Encode pack rows -> a compact quantized host array (init-time)."""
+    n = len(rows)
+    out = np.empty((n,) + src.shape[1:], dtype)
+    for s in range(0, n, step):
+        rs = list(rows[s:s + step])
+        encode(src[rs], out[s:s + len(rs)])
+    return out
+
+
+def _decode_rgb(x: jax.Array) -> jax.Array:
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    return x.astype(jnp.float32)
+
+
+def _decode_depth(x: jax.Array) -> jax.Array:
+    if x.dtype == jnp.uint16:
+        # divide (not reciprocal-multiply): bit-parity with the host
+        # loaders' `depth_mm / 1000.0` (sunrgbd.py:212, dataloader.cpp)
+        return x.astype(jnp.float32) / jnp.float32(_DEPTH_QUANT_SCALE)
+    return x.astype(jnp.float32)
+
+
+def _serial_h2d_default() -> bool:
+    """True when the runtime is a tunneled device (axon): MB-scale H2D
+    interleaved with enqueued programs collapses there (PERF_NOTES
+    'chunk-rotating feed'), so chunk uploads must quiesce first."""
+    import os
+
+    plats = str(getattr(jax.config, "jax_platforms", "") or "")
+    return "axon" in plats or "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
 def _axis_matrices(out_size: int, crop0, crop_len, flip):
@@ -170,8 +244,16 @@ class DeviceDataset:
         self._sharding = sharding
         self.mesh = mesh
         self.mesh_axis = mesh_axis
-        rgb = np.asarray(loader._rgb[rows]).astype(rgb_dtype)
-        depth = np.asarray(loader._depth[rows]).astype(depth_dtype)
+        if _is_quant_rgb(rgb_dtype):
+            rgb = _encode_rows(loader._rgb, rows, np.uint8,
+                               _host_encode_rgb)
+        else:
+            rgb = np.asarray(loader._rgb[rows]).astype(rgb_dtype)
+        if _is_quant_depth(depth_dtype):
+            depth = _encode_rows(loader._depth, rows, np.uint16,
+                                 _host_encode_depth)
+        else:
+            depth = np.asarray(loader._depth[rows]).astype(depth_dtype)
         k = np.asarray(loader._intrinsics[rows], dtype=np.float32)
         if mesh is None:
             put = jax.device_put
@@ -243,8 +325,8 @@ class DeviceDataset:
 
     def _make_batch(self, indices: jax.Array, epoch: jax.Array,
                     augment: bool) -> Dict[str, jax.Array]:
-        rgb = jnp.take(self.rgb, indices, 0).astype(jnp.float32)
-        depth = jnp.take(self.depth, indices, 0).astype(jnp.float32)
+        rgb = _decode_rgb(jnp.take(self.rgb, indices, 0))
+        depth = _decode_depth(jnp.take(self.depth, indices, 0))
         k = jnp.take(self.k, indices, 0)
         if augment:
             cfg = self.aug_config
@@ -278,8 +360,8 @@ class DeviceDataset:
 
         def build(augment: bool):
             def local(rgb_s, depth_s, k_s, idx_l, epoch):
-                rgb = jnp.take(rgb_s, idx_l, 0).astype(jnp.float32)
-                depth = jnp.take(depth_s, idx_l, 0).astype(jnp.float32)
+                rgb = _decode_rgb(jnp.take(rgb_s, idx_l, 0))
+                depth = _decode_depth(jnp.take(depth_s, idx_l, 0))
                 k = jnp.take(k_s, idx_l, 0)
                 if augment:
                     gid = (jax.lax.axis_index(axis) * shard_size
@@ -401,7 +483,12 @@ class ChunkedDeviceDataset:
     uploading from the host pack on a background thread, so steady-state
     training still sees only device-side gathers (the per-step H2D is
     the index vector, and chunk uploads overlap compute where the
-    runtime allows).
+    runtime allows; see ``batches(prefetch=...)`` for runtimes where
+    they don't). Quantized storage (``rgb_dtype=uint8`` +
+    ``depth_dtype=uint16``) encodes this split ONCE into compact host
+    copies and cuts both staging traffic and per-chunk H2D 3.2x — the
+    recommended chunked setting (depth stored mm-exact, rgb within
+    1/510).
 
     Epoch semantics are IDENTICAL to the resident path, not an
     approximation: each epoch draws one global permutation keyed on
@@ -414,7 +501,9 @@ class ChunkedDeviceDataset:
 
     Single-device capacity tool; for multi-chip capacity use the
     sharded ``DeviceDataset(mesh=...)`` instead (mesh is rejected
-    here).
+    here). The two staging slots are owned by one iteration at a time:
+    don't interleave two live ``batches()`` generators from the same
+    instance.
     """
 
     def __init__(self, loader, chunk_samples: int,
@@ -438,12 +527,80 @@ class ChunkedDeviceDataset:
         self._rgb_dtype = rgb_dtype
         self._depth_dtype = depth_dtype
         self._sharding = sharding
-        # host-side pack views (memmap or preloaded RAM)
-        self._host_rgb = loader._rgb
-        self._host_depth = loader._depth
-        self._host_k = loader._intrinsics
+        # Host-side source arrays. Plain mode reads straight from the
+        # pack views (memmap or preloaded RAM; zero extra host memory).
+        # Quantized mode instead encodes this split's rows ONCE into
+        # compact uint8/uint16 copies: +pack/3.2 host RAM buys 3.2x
+        # less staging traffic AND 3.2x less H2D per chunk, every epoch.
+        self._compact = (_is_quant_rgb(rgb_dtype)
+                         and _is_quant_depth(depth_dtype))
+        if _is_quant_rgb(rgb_dtype) != _is_quant_depth(depth_dtype):
+            raise ValueError(
+                "quantized chunked storage is all-or-nothing: use "
+                "rgb_dtype=uint8 with depth_dtype=uint16")
+        if self._compact:
+            self._host_rgb = _encode_rows(loader._rgb, self.rows,
+                                          np.uint8, _host_encode_rgb)
+            self._host_depth = _encode_rows(loader._depth, self.rows,
+                                            np.uint16, _host_encode_depth)
+            self._host_k = np.asarray(
+                loader._intrinsics[list(self.rows)], np.float32)
+        else:
+            self._host_rgb = loader._rgb
+            self._host_depth = loader._depth
+            self._host_k = loader._intrinsics
         self._gather = jax.jit(self._make_batch,
                                static_argnames=("augment",))
+        # Zero-alloc double-buffered staging: two persistent host slots,
+        # prefaulted once here and reused for every chunk. Fresh pages
+        # on some hosts fault in orders of magnitude slower than
+        # recycled ones (measured ~6 MB/s first-touch vs ~1.2 GB/s
+        # reuse on the bench container — proactive-reclaim daemons
+        # fight large fresh allocations), so the producer must never
+        # allocate per chunk. fill() write-faults every page up front.
+        c, h, w = self.chunk_samples, self.height, self.width
+        pack_dt = self._host_rgb.dtype
+
+        def _slot():
+            s = {
+                "rgb": np.empty((c, h, w, 3), np.dtype(self._rgb_dtype)),
+                "depth": np.empty((c, h, w, 1),
+                                  np.dtype(self._depth_dtype)),
+                "k": np.empty((c, 3, 3), np.float32),
+                "gids": np.empty((c,), np.int32),
+            }
+            if np.dtype(self._rgb_dtype) != pack_dt:
+                s["rgb_scratch"] = np.empty((c, h, w, 3), pack_dt)
+            if np.dtype(self._depth_dtype) != self._host_depth.dtype:
+                s["depth_scratch"] = np.empty((c, h, w, 1),
+                                              self._host_depth.dtype)
+            for a in s.values():
+                a.fill(0)
+            return s
+
+        self._slots = [_slot(), _slot()]
+        # device arrays produced from each slot; block on them before
+        # the slot's host memory is overwritten (device_put is async)
+        self._slot_inflight: list = [None, None]
+        # On the CPU backend device_put ALIASES the numpy buffer
+        # (zero-copy): block_until_ready is trivially true and pending
+        # gathers read the slot's live memory, so reuse would corrupt
+        # them (measured ~7% of chunks in tests). Real accelerators
+        # copy to device memory during the transfer the inflight fence
+        # waits on; only there is zero-alloc slot reuse sound.
+        self._slot_alias_risk = jax.default_backend() not in ("tpu", "gpu")
+        # Serial-mode fences, both forced with a device->host readback
+        # (plain block_until_ready can return early on some runtimes —
+        # that's exactly how transfers end up interleaved with steps):
+        # _fence_fn drains the FIFO program queue BEFORE the transfer;
+        # _xfer_fence proves the four chunk buffers have LANDED before
+        # any gather/step program is allowed to follow them.
+        self._fence_fn = jax.jit(lambda: jnp.zeros((8,), jnp.float32) + 1.0)
+        self._xfer_fence = jax.jit(
+            lambda r, d, k, g: (r.ravel()[0].astype(jnp.float32)
+                                + d.ravel()[0].astype(jnp.float32)
+                                + k.ravel()[0]
+                                + g[0].astype(jnp.float32)))
 
     def __len__(self) -> int:
         return len(self.rows)
@@ -466,31 +623,74 @@ class ChunkedDeviceDataset:
 
     # -- upload + jitted batch assembly ---------------------------------
 
-    def _upload(self, order_slice: np.ndarray) -> Dict[str, jax.Array]:
-        """Assemble + device_put one chunk (runs on the prefetch thread).
+    def _upload(self, order_slice: np.ndarray, slot: int = 0,
+                block: bool = False) -> Dict[str, jax.Array]:
+        """Assemble + device_put one chunk (prefetch thread or inline).
 
         ``order_slice`` holds global dataset positions (0..n-1); rows
-        maps them to pack rows. Returns device buffers plus the global
-        ids the augmentation streams key on.
+        maps them to pack rows (compact quantized copies are already
+        position-indexed). Returns device buffers plus the global ids
+        the augmentation streams key on. The chunk is staged through
+        persistent slot buffers (no per-chunk allocation); the previous
+        transfer out of this slot is blocked on first, since
+        ``device_put`` copies host memory asynchronously. ``block``
+        additionally waits for THIS chunk's transfer (serial mode).
         """
-        rows = np.asarray([self.rows[i] for i in order_slice])
+        rows = (np.asarray(order_slice) if self._compact
+                else np.asarray([self.rows[i] for i in order_slice]))
+        n = len(rows)
+        s = self._slots[slot]
+        if self._slot_inflight[slot] is not None:
+            jax.block_until_ready(self._slot_inflight[slot])
+
+        def _stage(name, src, src_rows):
+            dst = s[name][:n]
+            scratch = s.get(f"{name}_scratch")
+            if scratch is None:
+                np.take(src, src_rows, axis=0, out=dst)
+            else:
+                np.take(src, src_rows, axis=0, out=scratch[:n])
+                np.copyto(dst, scratch[:n], casting="unsafe")
+            return dst
+
+        rgb = _stage("rgb", self._host_rgb, rows)
+        depth = _stage("depth", self._host_depth, rows)
+        np.take(self._host_k, rows, axis=0, out=s["k"][:n])
+        s["gids"][:n] = order_slice
+        if block:
+            # serial mode: quiesce the device BEFORE submitting the
+            # transfer. On tunneled runtimes a transfer that merely
+            # coexists with queued programs crawls ~30x regardless of
+            # later arrivals; staging above overlapped the drain.
+            np.asarray(self._fence_fn()).ravel()[0]
         put = (jax.device_put if self._sharding is None
                else functools.partial(jax.device_put,
                                       device=self._sharding))
-        return {
-            "rgb": put(np.asarray(self._host_rgb[rows])
-                       .astype(self._rgb_dtype)),
-            "depth": put(np.asarray(self._host_depth[rows])
-                         .astype(self._depth_dtype)),
-            "k": put(np.asarray(self._host_k[rows], np.float32)),
-            "gids": put(np.asarray(order_slice, np.int32)),
+        if self._slot_alias_risk:
+            # private copies: the backend may alias host memory (see
+            # __init__); slots still serve their page-recycling role
+            prep = np.array
+        else:
+            def prep(x):
+                return x
+        out = {
+            "rgb": put(prep(rgb)),
+            "depth": put(prep(depth)),
+            "k": put(prep(s["k"][:n])),
+            "gids": put(prep(s["gids"][:n])),
         }
+        self._slot_inflight[slot] = list(out.values())
+        if block:
+            # verified completion readback — see _xfer_fence in __init__
+            np.asarray(self._xfer_fence(out["rgb"], out["depth"],
+                                        out["k"], out["gids"])).ravel()
+        return out
 
     def _make_batch(self, rgb_buf, depth_buf, k_buf, gid_buf,
                     idx: jax.Array, epoch: jax.Array,
                     augment: bool) -> Dict[str, jax.Array]:
-        rgb = jnp.take(rgb_buf, idx, 0).astype(jnp.float32)
-        depth = jnp.take(depth_buf, idx, 0).astype(jnp.float32)
+        rgb = _decode_rgb(jnp.take(rgb_buf, idx, 0))
+        depth = _decode_depth(jnp.take(depth_buf, idx, 0))
         k = jnp.take(k_buf, idx, 0)
         if augment:
             cfg = self.aug_config
@@ -510,11 +710,32 @@ class ChunkedDeviceDataset:
                 seed: int = 0, epoch: int = 0, augment: bool = False,
                 drop_remainder: bool = True,
                 max_samples: Optional[int] = None,
+                prefetch: str = "auto",
                 ) -> Iterator[Dict[str, jax.Array]]:
         """Same contract (and identical sample stream) as
-        ``DeviceDataset.batches``; see the class docstring."""
+        ``DeviceDataset.batches``; see the class docstring.
+
+        ``prefetch`` picks how chunk k+1 reaches the device:
+
+        * ``"thread"`` — background-thread ``device_put`` overlapping
+          chunk k's training (the right mode on real TPU hosts, where
+          DMA proceeds alongside compute);
+        * ``"serial"`` — inline upload at each chunk boundary, blocking
+          until the transfer lands. On tunneled runtimes MB-scale
+          transfers interleaved with arriving programs collapse ~30x
+          (PERF_NOTES 'chunk-rotating feed'), so quiescing first is
+          strictly faster there; the host-side staging still overlaps
+          the previous chunk's queued steps.
+        * ``"auto"`` — serial on tunneled (axon) runtimes, else thread.
+        """
         import queue
         import threading
+
+        if prefetch not in ("auto", "thread", "serial"):
+            raise ValueError(f"prefetch must be auto|thread|serial, "
+                             f"got {prefetch!r}")
+        if prefetch == "auto":
+            prefetch = "serial" if _serial_h2d_default() else "thread"
 
         n = len(self.rows)
         if max_samples is not None:
@@ -528,33 +749,24 @@ class ChunkedDeviceDataset:
                 batch_size)
         chunk_slices = [order[s:s + c] for s in range(0, n, c)]
 
-        q: "queue.Queue" = queue.Queue(maxsize=1)
-
-        def producer():
-            for sl in chunk_slices:
-                q.put(self._upload(sl))
-            q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
         ep = jnp.int32(epoch)
-        emitted = 0
         total = (n // batch_size if drop_remainder
                  else -(-n // batch_size))
-        buf = q.get()
-        while buf is not None:
+        state = {"emitted": 0}
+
+        def chunk_batches(buf):
             c_len = int(buf["gids"].shape[0])
             num = c_len // batch_size
             tail = c_len % batch_size
             for b in range(num):
-                if emitted >= total:
+                if state["emitted"] >= total:
                     break
                 idx = np.arange(b * batch_size, (b + 1) * batch_size)
                 yield self._gather(buf["rgb"], buf["depth"], buf["k"],
                                    buf["gids"], jnp.asarray(idx, jnp.int32),
                                    ep, augment=augment)
-                emitted += 1
-            if tail and not drop_remainder and emitted < total:
+                state["emitted"] += 1
+            if tail and not drop_remainder and state["emitted"] < total:
                 # pad the gather within the chunk, trim the outputs
                 idx = np.concatenate([
                     np.arange(num * batch_size, c_len),
@@ -564,7 +776,32 @@ class ChunkedDeviceDataset:
                                      jnp.asarray(idx, jnp.int32),
                                      ep, augment=augment)
                 yield {k: v[:tail] for k, v in batch.items()}
-                emitted += 1
+                state["emitted"] += 1
+
+        if prefetch == "serial":
+            for i, sl in enumerate(chunk_slices):
+                buf = self._upload(sl, slot=i % 2, block=True)
+                for batch in chunk_batches(buf):
+                    yield batch
+                    # drain after the consumer dispatched its step:
+                    # keeping the tunnel's program queue shallow makes
+                    # the chunk transfers 4-5x faster than async
+                    # dispatch (PERF_NOTES wire-rate study)
+                    np.asarray(self._fence_fn()).ravel()
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+
+        def producer():
+            for i, sl in enumerate(chunk_slices):
+                q.put(self._upload(sl, slot=i % 2))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        buf = q.get()
+        while buf is not None:
+            yield from chunk_batches(buf)
             buf = q.get()
         t.join()
 

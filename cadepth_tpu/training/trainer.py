@@ -157,8 +157,18 @@ class Trainer:
             raise ValueError(
                 "data.device_resident needs data.packed_dir (build one "
                 "with cli/pack_dataset.py)")
-        dtype = (jnp.bfloat16 if cfg.data.device_resident_dtype == "bfloat16"
-                 else jnp.float32)
+        # "quantized" = the dataset's native encodings (rgb uint8, depth
+        # uint16 millimeters): 3.2x less HBM/H2D than fp32, and depth
+        # stores its exact mm value for mm-sourced packs (SUN RGB-D depth
+        # PNGs are mm; fp32 materialization within 1 ulp of the host /1000)
+        # — unlike bfloat16, which is why bf16 storage never applied to GT.
+        if cfg.data.device_resident_dtype == "quantized":
+            dtype, depth_dtype = jnp.uint8, jnp.uint16
+        else:
+            dtype = (jnp.bfloat16
+                     if cfg.data.device_resident_dtype == "bfloat16"
+                     else jnp.float32)
+            depth_dtype = jnp.float32
         chunk = cfg.data.device_resident_chunk_samples
         if chunk > 0:
             # pack bigger than HBM: rotate it through two chunk buffers
@@ -168,7 +178,7 @@ class Trainer:
                     "device_resident_chunk_samples is the single-device "
                     "capacity mode; on a mesh use the sharded resident "
                     "dataset instead (it splits the pack across chips)")
-            ds_kw = dict(rgb_dtype=dtype, depth_dtype=jnp.float32)
+            ds_kw = dict(rgb_dtype=dtype, depth_dtype=depth_dtype)
             train_ds = ChunkedDeviceDataset(self.train_loader, chunk, **ds_kw)
             val_ds = ChunkedDeviceDataset(self.val_loader, chunk, **ds_kw)
             self.train_pipe = DevicePipeline(
@@ -186,7 +196,7 @@ class Trainer:
         # one device holds everything. bfloat16 storage applies to RGB
         # only — ground-truth depth keeps fp32 (8-bit-mantissa GT would
         # skew the losses/metrics it feeds).
-        ds_kw = dict(rgb_dtype=dtype, depth_dtype=jnp.float32,
+        ds_kw = dict(rgb_dtype=dtype, depth_dtype=depth_dtype,
                      mesh=self.mesh,
                      sharding=None if self.mesh is not None
                      else self.data_sharding)

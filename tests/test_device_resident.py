@@ -418,6 +418,128 @@ def test_chunked_trainer_smoke(pack_dir, tmp_path):
     tr.close()
 
 
+def test_quantized_storage_semantics(pack_dir):
+    """uint8 RGB / uint16-mm depth storage (the dataset's native
+    encodings): the STORED depth is mm-exact (the synthetic fixture
+    writes mm PNGs like SUN RGB-D, and the pack's nearest depth resize
+    preserves mm values); the fp32 materialization is within 1 ulp of
+    the host loader's `mm / 1000.0` (XLA strength-reduces the jitted
+    divide to a reciprocal multiply), rgb within the u8 rounding
+    step."""
+    loader, ds32 = make_ds(pack_dir)
+    dsq = DeviceDataset(loader, rgb_dtype=jnp.uint8,
+                        depth_dtype=jnp.uint16)
+    assert dsq.rgb.dtype == jnp.uint8 and dsq.depth.dtype == jnp.uint16
+    assert dsq.nbytes() < ds32.nbytes() / 3.0
+    # the stored u16 values ARE the exact millimeters of the pack
+    np.testing.assert_array_equal(
+        np.asarray(dsq.depth, np.float32),
+        np.rint(np.asarray(ds32.depth) * 1000.0))
+    idx = jnp.asarray([1, 4, 7, 10], jnp.int32)
+    a = ds32._gather(idx, jnp.int32(0), augment=False)
+    b = dsq._gather(idx, jnp.int32(0), augment=False)
+    np.testing.assert_allclose(np.asarray(a["depth"]),
+                               np.asarray(b["depth"]), rtol=1.5e-7)
+    np.testing.assert_array_equal(np.asarray(a["intrinsics"]),
+                                  np.asarray(b["intrinsics"]))
+    np.testing.assert_allclose(np.asarray(a["rgb"]), np.asarray(b["rgb"]),
+                               rtol=0, atol=0.5 / 255.0 + 1e-7)
+    # augmentation runs on the dequantized fp32 values — same bounds
+    # (interpolation is a convex combination, jitter is clipped affine;
+    # contrast<=1.3 stretches the rgb quantization step by <=1.3)
+    aa = ds32._gather(idx, jnp.int32(1), augment=True)
+    bb = dsq._gather(idx, jnp.int32(1), augment=True)
+    np.testing.assert_allclose(np.asarray(aa["depth"]),
+                               np.asarray(bb["depth"]), rtol=1.5e-7)
+    np.testing.assert_allclose(np.asarray(aa["rgb"]), np.asarray(bb["rgb"]),
+                               rtol=0, atol=1.3 * 0.5 / 255.0 + 1e-6)
+
+
+def test_chunked_quantized_matches_resident_quantized(pack_dir):
+    """Quantized chunked (compact host copies) == quantized resident,
+    bit-exact, in both prefetch modes."""
+    from cadepth_tpu.data import ChunkedDeviceDataset
+
+    loader, _ = make_ds(pack_dir)
+    loader.enable_augmentation(loader.aug_config)
+    dsq = DeviceDataset(loader, rgb_dtype=jnp.uint8,
+                        depth_dtype=jnp.uint16)
+    chq = ChunkedDeviceDataset(loader, chunk_samples=5,
+                               rgb_dtype=jnp.uint8,
+                               depth_dtype=jnp.uint16)
+    want = list(dsq.batches(4, shuffle=True, seed=5, epoch=1,
+                            augment=True))
+    for mode in ("thread", "serial"):
+        got = list(chq.batches(4, shuffle=True, seed=5, epoch=1,
+                               augment=True, prefetch=mode))
+        assert len(got) == len(want)
+        for bw, bg in zip(want, got):
+            for k in bw:
+                np.testing.assert_array_equal(
+                    np.asarray(bw[k]), np.asarray(bg[k]),
+                    err_msg=f"{k} prefetch={mode}")
+
+
+def test_chunked_thread_mode_slot_reuse_race(pack_dir):
+    """Regression: on the CPU backend device_put ALIASES numpy buffers,
+    so slot reuse without private copies corrupted pending gathers
+    (~7% of chunks). Repeat the stream comparison enough times that the
+    original race would fire with >95% probability."""
+    from cadepth_tpu.data import ChunkedDeviceDataset
+
+    loader, ds = make_ds(pack_dir)
+    want = list(ds.batches(4, shuffle=True, seed=13, epoch=0,
+                           augment=False))
+    W = [{k: np.asarray(v) for k, v in b.items()} for b in want]
+    ch = ChunkedDeviceDataset(loader, chunk_samples=5)
+    assert ch._slot_alias_risk  # CPU backend in tests
+    for trial in range(12):
+        got = list(ch.batches(4, shuffle=True, seed=13, epoch=0,
+                              augment=False, prefetch="thread"))
+        for i, g in enumerate(got):
+            for k in g:
+                np.testing.assert_array_equal(
+                    W[i][k], np.asarray(g[k]),
+                    err_msg=f"trial {trial} batch {i} key {k}")
+
+
+def test_chunked_quantized_requires_both(pack_dir):
+    from cadepth_tpu.data import ChunkedDeviceDataset
+
+    loader, _ = make_ds(pack_dir)
+    with pytest.raises(ValueError, match="all-or-nothing"):
+        ChunkedDeviceDataset(loader, chunk_samples=5,
+                             rgb_dtype=jnp.uint8)
+
+
+def test_quantized_trainer_smoke(pack_dir, tmp_path):
+    """device_resident_dtype: quantized end to end through the Trainer."""
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.training.trainer import Trainer
+
+    cfg = config_from_dict({
+        "experiment": {"name": "devres_quant", "seed": 0},
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+        "data": {"packed_dir": pack_dir, "device_resident": True,
+                 "device_resident_dtype": "quantized",
+                 "input_height": 48, "input_width": 64,
+                 "compute_rays": True},
+        "training": {"batch_size": 4, "num_epochs": 1, "use_amp": True},
+        "optimization": {"learning_rate": 1e-3, "lr_scheduler": "none",
+                         "lr_warmup_epochs": 0},
+        "checkpointing": {"checkpoint_dir": str(tmp_path / "ckpt")},
+        "logging": {"log_dir": str(tmp_path / "logs"),
+                    "tensorboard": {"enabled": False}},
+        "hardware": {"data_parallel": False},
+    })
+    tr = Trainer(cfg)
+    assert tr.train_pipe.dataset.rgb.dtype == jnp.uint8
+    assert tr.train_pipe.dataset.depth.dtype == jnp.uint16
+    metrics = tr.train()
+    assert np.isfinite(metrics.get("abs_rel", np.nan))
+    tr.close()
+
+
 def test_device_resident_requires_pack_resolution(pack_dir):
     loader = PackedSunRGBDLoader(pack_dir, split="train", target_height=32,
                                  target_width=32, rays_on_device=True)
