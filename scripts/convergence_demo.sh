@@ -46,6 +46,12 @@ if [[ "$DEVICE_RESIDENT" == "1" ]]; then
   PACKED_KNOBS="
   packed_dir: \"$WORKDIR/packed\"
   device_resident: true"
+  # QUANT=1: store the HBM pack as rgb u8 / depth u16-mm (the round-3
+  # quantized mode) so the convergence protocol also certifies it
+  if [[ "${QUANT:-0}" == "1" ]]; then
+    PACKED_KNOBS="$PACKED_KNOBS
+  device_resident_dtype: \"quantized\""
+  fi
 fi
 
 cat > "$WORKDIR/demo_config.yaml" <<EOF
