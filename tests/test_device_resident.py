@@ -196,6 +196,36 @@ def test_sharded_device_dataset_gather(pack_dir):
         np.testing.assert_array_equal(x, y)
 
 
+def test_sharded_quantized_matches_single_device(pack_dir):
+    """quantized storage composes with the mesh-sharded dataset: the
+    shard_map gather must dequantize identically to the single-device
+    quantized gather."""
+    from cadepth_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(4)
+    loader = PackedSunRGBDLoader(pack_dir, split="train", compute_rays=True,
+                                 rays_on_device=True)
+    loader.enable_augmentation(loader.aug_config)
+    dsq = DeviceDataset(loader, rgb_dtype=jnp.uint8,
+                        depth_dtype=jnp.uint16)
+    dsm = DeviceDataset(loader, rgb_dtype=jnp.uint8,
+                        depth_dtype=jnp.uint16, mesh=mesh)
+    assert dsm.rgb.dtype == jnp.uint8 and dsm.depth.dtype == jnp.uint16
+    # same physical samples: shard d holds padded rows [d*S, (d+1)*S);
+    # pick indices that avoid pad rows so both gathers see real data
+    S = dsm.shard_size
+    local = np.array([0, 1], np.int32)
+    sharded_idx = np.concatenate([local + d * S for d in range(4)])
+    sharded_idx = np.minimum(sharded_idx, len(loader) - 1)
+    got = dsm._gather(jnp.asarray(np.tile(local, 4)), jnp.int32(0),
+                      augment=False)
+    want = dsq._gather(jnp.asarray(sharded_idx), jnp.int32(0),
+                       augment=False)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(want[k]),
+                                      np.asarray(got[k]), err_msg=k)
+
+
 def test_sharded_device_dataset_augment_runs(pack_dir):
     from cadepth_tpu.parallel.mesh import make_mesh
 
