@@ -109,3 +109,68 @@ def test_affine_warp_matches_grid_sample(rng):
         got = pallas_affine_warp(img, theta, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=5e-4, err_msg=name)
+
+
+def test_two_pass_warp_kernel_matches_xla(rng):
+    """Mosaic-candidate two-pass warp kernel (interpret mode): same
+    algebra as ops.affine_warp.two_pass_affine_warp — incl. the sheared
+    first-pass kernel under rotation — to fp32 matmul-association
+    noise."""
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+    from cadepth_tpu.ops.pallas.two_pass_warp import pallas_two_pass_warp
+
+    cases = {
+        "identity": np.array([[1, 0, 0], [0, 1, 0.0]]),
+        "zoom_shift": np.array([[0.8, 0, 0.1], [0, 1.2, -0.2]]),
+        "rotation": np.array([[0.999, -0.03, 0.02], [0.03, 0.999, 0.01]]),
+        "shear": np.array([[1.0, 0.1, 0.0], [0.05, 1.0, 0.0]]),
+    }
+    for (h, w, c, b) in [(24, 32, 8, 2), (15, 20, 16, 3)]:
+        img = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        for name, th in cases.items():
+            theta = jnp.asarray(
+                (np.tile(th[None], (b, 1, 1))
+                 + rng.normal(scale=0.01, size=(b, 2, 3))).astype(np.float32))
+            for pad in ("zeros", "border"):
+                want = two_pass_affine_warp(img, theta, pad, False,
+                                            "highest")
+                got = pallas_two_pass_warp(img, theta, pad, interpret=True)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), atol=1e-4,
+                    err_msg=f"{name}/{pad}/{h}x{w}")
+
+
+def test_two_pass_warp_kernel_rotfree_exact_vs_gather(rng):
+    """On the rotation-free subspace the kernel must match the
+    torch-parity gather path (the same exactness contract the XLA
+    two-pass carries)."""
+    from cadepth_tpu.ops import grid_sample
+    from cadepth_tpu.ops.grid_sample import affine_grid
+    from cadepth_tpu.ops.pallas.two_pass_warp import pallas_two_pass_warp
+
+    b, h, w, c = 2, 16, 24, 8
+    img = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    theta = jnp.asarray(np.tile(
+        np.array([[0.85, 0, 0.12], [0, 1.1, -0.07]], np.float32)[None],
+        (b, 1, 1)))
+    ref = grid_sample(img, affine_grid(theta, h, w))
+    got = pallas_two_pass_warp(img, theta, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_two_pass_warp_kernel_bf16(rng):
+    """bf16 path: tents cast to bf16 like the XLA version's _mat_dtype
+    discipline; agreement within bf16 resolution."""
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+    from cadepth_tpu.ops.pallas.two_pass_warp import pallas_two_pass_warp
+
+    b, h, w, c = 2, 16, 24, 8
+    img = jnp.asarray(rng.normal(size=(b, h, w, c))).astype(jnp.bfloat16)
+    theta = jnp.asarray(np.tile(
+        np.array([[0.9, -0.02, 0.1], [0.02, 1.05, 0.0]], np.float32)[None],
+        (b, 1, 1)))
+    want = two_pass_affine_warp(img, theta)
+    got = pallas_two_pass_warp(img, theta, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05)
