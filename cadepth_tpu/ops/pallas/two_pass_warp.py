@@ -23,10 +23,19 @@ Mosaic compiler on its DMA + fori_loop + matmul composition; this
 kernel stays inside the subset that compiled standalone in those
 probes.
 
-STATUS: forward-only (serving / eval path). Interpret-mode parity with
-``two_pass_affine_warp`` is tested in tests/test_pallas.py; on-chip
-compilation gated on the remote Mosaic compiler (HTTP-500s on round-3
-probes — see PERF_NOTES).
+Backward: :func:`pallas_two_pass_warp_trainable` wraps the kernels in a
+``jax.custom_vjp``. ``d_img`` is the transposed two-pass (two more
+tent-in-VMEM kernels); the theta gradient is accumulated IN-KERNEL as
+six per-batch partials w.r.t. the pixel-affine coefficients of ``g``
+and ``h`` (the tent derivative is elementwise against the same in-VMEM
+difference matrix), then chained through the coefficient maps with a
+tiny ``jax.vjp`` outside — the (B, W, H, Ho)-sized ``d_mv`` that the
+XLA custom VJP materializes never exists in HBM either.
+
+STATUS: interpret-mode parity with ``two_pass_affine_warp`` (forward
+AND grads) is tested in tests/test_pallas.py; on-chip compilation gated
+on the remote Mosaic compiler (HTTP-500s on round-3 probes — see
+PERF_NOTES).
 """
 
 from __future__ import annotations
@@ -115,6 +124,134 @@ def _pass_h_kernel(coef_ref, v_ref, out_ref, *, height: int, width: int,
         out_ref[0, di, :, :] = o.astype(out_ref.dtype)
 
 
+def _scalar_lanes(*vals: jax.Array) -> jax.Array:
+    """Pack scalars into lanes 0..k-1 of a (128,) f32 vector (TPU
+    outputs want lane-shaped data; the host unpacks)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
+    out = jnp.zeros((128,), jnp.float32)
+    for k, v in enumerate(vals):
+        out = jnp.where(lane == k, v.astype(jnp.float32), out)
+    return out
+
+
+def _dtent(diff: jax.Array) -> jax.Array:
+    """d/dpos of tent(pos - grid) given diff = pos - grid (a.e.)."""
+    return jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+
+
+def _bwd_h_kernel(coef_ref, g_ref, v_ref, dv_ref, habc_ref, *,
+                  height: int, width: int, it: int, border: bool):
+    """Transposed H pass + theta partials for one (batch, i-tile) cell.
+
+    d_v[i, x, c] = sum_j mh[j, x] * g[i, j, c]
+    habc        += sum_{j,x} (g·vᵀ)[j, x] * dtent[j, x] * (j, i, 1)
+    """
+    b = pl.program_id(0)
+    itile = pl.program_id(1)
+    a = coef_ref[b, 0]
+    bb = coef_ref[b, 1]
+    c = coef_ref[b, 2]
+
+    js = jax.lax.broadcasted_iota(jnp.float32, (width, 1), 0)    # j (rows)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (1, width), 1)    # x (cols)
+
+    s_a = jnp.float32(0.0)
+    s_b = jnp.float32(0.0)
+    s_c = jnp.float32(0.0)
+    for di in range(it):
+        i = (itile * it + di).astype(jnp.float32)
+        h = a * js + bb * i + c                              # (Wo, 1)
+        hp = jnp.clip(h, 0.0, width - 1.0) if border else h
+        diff = hp - xs                                       # (Wo, W)
+        mh = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
+        g_i = g_ref[0, di, :, :].astype(jnp.float32)         # (Wo, C)
+        v_i = v_ref[0, di, :, :].astype(jnp.float32)         # (W, C)
+        d_v = jax.lax.dot_general(
+            mh, g_i, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (W, C)
+        dv_ref[0, di, :, :] = d_v.astype(dv_ref.dtype)
+        d_mh = jax.lax.dot_general(
+            g_i, v_i, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (Wo, W)
+        contrib = d_mh * _dtent(diff)
+        if border:
+            contrib = contrib * ((h >= 0.0)
+                                 & (h <= width - 1.0)).astype(jnp.float32)
+        s_a = s_a + jnp.sum(contrib * js)
+        s_b = s_b + i * jnp.sum(contrib)
+        s_c = s_c + jnp.sum(contrib)
+
+    vec = _scalar_lanes(s_a, s_b, s_c)
+
+    @pl.when(itile == 0)
+    def _init():
+        habc_ref[0, :] = vec
+
+    @pl.when(itile != 0)
+    def _acc():
+        habc_ref[0, :] = habc_ref[0, :] + vec
+
+
+def _bwd_v_kernel(coef_ref, dv_ref, img_ref, dimg_ref, pqr_ref, *,
+                  height: int, width: int, xt: int, border: bool):
+    """Transposed V pass + g-coefficient partials for one
+    (batch, x-tile) cell.
+
+    d_img[y, x, c] = sum_i mv[i, y] * d_v[i, x, c]
+    pqr           += sum_{i,y} (d_v·imgᵀ)[i, y] * dtent[i, y] * (x, i, 1)
+    """
+    b = pl.program_id(0)
+    xtile = pl.program_id(1)
+    a = coef_ref[b, 0]
+    bb = coef_ref[b, 1]
+    c = coef_ref[b, 2]
+    d = coef_ref[b, 3]
+    e = coef_ref[b, 4]
+    f = coef_ref[b, 5]
+    a_safe = jnp.where(jnp.abs(a) < 1e-3,
+                       jnp.where(a < 0, -1e-3, 1e-3), a)
+    doa = d / a_safe
+
+    iis = jax.lax.broadcasted_iota(jnp.float32, (height, 1), 0)  # i (rows)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (1, height), 1)   # y (cols)
+
+    s_p = jnp.float32(0.0)
+    s_q = jnp.float32(0.0)
+    s_r = jnp.float32(0.0)
+    for dx in range(xt):
+        x = (xtile * xt + dx).astype(jnp.float32)
+        g = doa * x + (e - doa * bb) * iis + (f - doa * c)   # (Ho, 1)
+        gp = jnp.clip(g, 0.0, height - 1.0) if border else g
+        diff = gp - ys                                       # (Ho, H)
+        mv = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
+        dv_x = dv_ref[0, :, dx, :].astype(jnp.float32)       # (Ho, C)
+        img_x = img_ref[0, :, dx, :].astype(jnp.float32)     # (H, C)
+        d_img = jax.lax.dot_general(
+            mv, dv_x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (H, C)
+        dimg_ref[0, :, dx, :] = d_img.astype(dimg_ref.dtype)
+        d_mv = jax.lax.dot_general(
+            dv_x, img_x, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (Ho, H)
+        contrib = d_mv * _dtent(diff)
+        if border:
+            contrib = contrib * ((g >= 0.0)
+                                 & (g <= height - 1.0)).astype(jnp.float32)
+        s_p = s_p + x * jnp.sum(contrib)
+        s_q = s_q + jnp.sum(contrib * iis)
+        s_r = s_r + jnp.sum(contrib)
+
+    vec = _scalar_lanes(s_p, s_q, s_r)
+
+    @pl.when(xtile == 0)
+    def _init():
+        pqr_ref[0, :] = vec
+
+    @pl.when(xtile != 0)
+    def _acc():
+        pqr_ref[0, :] = pqr_ref[0, :] + vec
+
+
 def pallas_two_pass_warp(img: jax.Array, theta: jax.Array,
                          padding_mode: str = "zeros",
                          align_corners: bool = False,
@@ -134,6 +271,13 @@ def pallas_two_pass_warp(img: jax.Array, theta: jax.Array,
     Returns:
       (B, H, W, C), dtype of ``img``. Forward only — no VJP.
     """
+    out, _ = _pallas_warp_fwd_passes(img, theta, padding_mode,
+                                     align_corners, interpret)
+    return out
+
+
+def _pallas_warp_fwd_passes(img, theta, padding_mode, align_corners,
+                            interpret):
     if padding_mode not in ("zeros", "border"):
         raise ValueError(f"Unsupported padding_mode: {padding_mode}")
     bsz, h, w, ch = img.shape
@@ -170,4 +314,98 @@ def pallas_two_pass_warp(img: jax.Array, theta: jax.Array,
         out_shape=jax.ShapeDtypeStruct((bsz, h, w, ch), img.dtype),
         interpret=interpret,
     )(coefs, v)
+    return out, v
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def pallas_two_pass_warp_trainable(
+        img: jax.Array, theta: jax.Array, padding_mode: str = "zeros",
+        align_corners: bool = False, interpret: bool = False) -> jax.Array:
+    """:func:`pallas_two_pass_warp` with a Pallas backward.
+
+    Gradients match the XLA ``two_pass_affine_warp`` custom VJP (same
+    tent algebra; theta partials accumulated in-kernel against the six
+    pixel-affine coefficients, then chained through
+    ``affine_pixel_coeffs`` outside)."""
+    out, _ = _pallas_warp_fwd_passes(img, theta, padding_mode,
+                                     align_corners, interpret)
     return out
+
+
+def _trainable_fwd(img, theta, padding_mode, align_corners, interpret):
+    out, v = _pallas_warp_fwd_passes(img, theta, padding_mode,
+                                     align_corners, interpret)
+    return out, (img, v, theta)
+
+
+def _trainable_bwd(padding_mode, align_corners, interpret, residuals, g):
+    img, v, theta = residuals
+    bsz, h, w, ch = img.shape
+    border = padding_mode == "border"
+
+    coefs = jnp.stack(affine_pixel_coeffs(theta, h, w, align_corners),
+                      axis=-1)
+
+    it = _tile(h)
+    d_v, habc = pl.pallas_call(
+        functools.partial(_bwd_h_kernel, height=h, width=w, it=it,
+                          border=border),
+        grid=(bsz, h // it),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # coefs
+            pl.BlockSpec((1, it, w, ch), lambda b, i: (b, i, 0, 0)),  # g
+            pl.BlockSpec((1, it, w, ch), lambda b, i: (b, i, 0, 0)),  # v
+        ],
+        out_specs=[
+            pl.BlockSpec((1, it, w, ch), lambda b, i: (b, i, 0, 0)),
+            pl.BlockSpec((1, 128), lambda b, i: (b, 0)),     # accumulated
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, w, ch), img.dtype),
+            jax.ShapeDtypeStruct((bsz, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(coefs, g, v)
+
+    xt = _tile(w)
+    d_img, pqr = pl.pallas_call(
+        functools.partial(_bwd_v_kernel, height=h, width=w, xt=xt,
+                          border=border),
+        grid=(bsz, w // xt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # coefs
+            pl.BlockSpec((1, h, xt, ch), lambda b, x: (b, 0, x, 0)),  # d_v
+            pl.BlockSpec((1, h, xt, ch), lambda b, x: (b, 0, x, 0)),  # img
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, xt, ch), lambda b, x: (b, 0, x, 0)),
+            pl.BlockSpec((1, 128), lambda b, x: (b, 0)),     # accumulated
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, h, w, ch), img.dtype),
+            jax.ShapeDtypeStruct((bsz, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(coefs, d_v, img)
+
+    # chain the six per-batch coefficient partials back to theta: the
+    # coefficient maps are tiny elementwise functions of theta
+    def _h_abc(th):
+        a, b, c, _, _, _ = affine_pixel_coeffs(th, h, w, align_corners)
+        return a, b, c
+
+    def _g_pqr(th):
+        a, b, c, d, e, f = affine_pixel_coeffs(th, h, w, align_corners)
+        a_safe = jnp.where(jnp.abs(a) < 1e-3,
+                           jnp.where(a < 0, -1e-3, 1e-3), a)
+        doa = d / a_safe
+        return doa, e - doa * b, f - doa * c
+
+    _, vjp_h = jax.vjp(_h_abc, theta)
+    _, vjp_g = jax.vjp(_g_pqr, theta)
+    d_theta = (vjp_h((habc[:, 0], habc[:, 1], habc[:, 2]))[0]
+               + vjp_g((pqr[:, 0], pqr[:, 1], pqr[:, 2]))[0])
+    return d_img, d_theta.astype(theta.dtype)
+
+
+pallas_two_pass_warp_trainable.defvjp(_trainable_fwd, _trainable_bwd)

@@ -174,3 +174,41 @@ def test_two_pass_warp_kernel_bf16(rng):
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=0.05)
+
+
+def test_two_pass_warp_kernel_grads_match_xla(rng):
+    """Trainable Pallas warp (interpret mode): d_img and d_theta match
+    the XLA two-pass custom VJP to fp32 reduction noise."""
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+    from cadepth_tpu.ops.pallas.two_pass_warp import (
+        pallas_two_pass_warp_trainable,
+    )
+
+    b, h, w, c = 2, 16, 24, 8
+    img = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    for name, th0 in {
+        "near_identity": np.array([[1.0, -0.02, 0.05], [0.02, 0.97, -0.03]]),
+        "zoom": np.array([[0.8, 0.0, 0.1], [0.0, 1.2, -0.2]]),
+    }.items():
+        theta = jnp.asarray(
+            (np.tile(th0[None], (b, 1, 1))
+             + rng.normal(scale=0.01, size=(b, 2, 3))).astype(np.float32))
+        for pad in ("zeros", "border"):
+            def loss_ref(im, t):
+                return jnp.sum(jnp.sin(
+                    two_pass_affine_warp(im, t, pad, False, "highest")))
+
+            def loss_pal(im, t):
+                return jnp.sum(jnp.sin(
+                    pallas_two_pass_warp_trainable(im, t, pad, False,
+                                                   True)))
+
+            gr_i, gr_t = jax.grad(loss_ref, argnums=(0, 1))(img, theta)
+            gp_i, gp_t = jax.grad(loss_pal, argnums=(0, 1))(img, theta)
+            np.testing.assert_allclose(np.asarray(gp_i), np.asarray(gr_i),
+                                       atol=1e-4,
+                                       err_msg=f"d_img {name}/{pad}")
+            scale = float(jnp.max(jnp.abs(gr_t))) + 1e-6
+            np.testing.assert_allclose(
+                np.asarray(gp_t) / scale, np.asarray(gr_t) / scale,
+                atol=2e-5, err_msg=f"d_theta {name}/{pad}")
