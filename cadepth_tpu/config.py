@@ -341,7 +341,9 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         # bool or the string policy "highres"/"full" (models/layers.py)
         remat=(m["remat"] if isinstance(m.get("remat"), str)
                else bool(m.get("remat", False))),
-        pcl_warp=m.get("pcl_warp", "two_pass"),
+        pcl_warp=_enum(m.get("pcl_warp", "two_pass"),
+                       ("two_pass", "auto", "gather", "separable",
+                        "pallas"), "model.pcl_warp"),
         norm=m.get("norm", "batch"),
         decoder_upsample=m.get("decoder_upsample", "transpose"),
     )

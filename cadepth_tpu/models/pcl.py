@@ -69,7 +69,12 @@ class PerspectiveCorrectionLayer(nn.Module):
     # shared-matrix GEMM warp always (exact for the axis-aligned
     # scale+translate subspace, silently drops predicted rotation AND
     # shear — fastest). XLA TPU gathers are near scalar speed, hence a
-    # GEMM-warp default.
+    # GEMM-warp default. "pallas" = EXPERIMENTAL Mosaic kernel with
+    # in-kernel tent generation (ops/pallas/two_pass_warp.py): same
+    # semantics and gradients as "two_pass" with zero HBM tent traffic
+    # and zero layout-relayout copies — gated on the remote Mosaic
+    # compiler actually compiling (interpret-parity tested; see
+    # PERF_NOTES "layout-copy tax").
     warp_mode: str = "two_pass"
     rot_bound: float = 0.05
     dtype: Any = jnp.bfloat16
@@ -119,6 +124,15 @@ class PerspectiveCorrectionLayer(nn.Module):
             return warp_two_pass(features, theta)
         if self.warp_mode == "separable":
             return warp_separable(features, theta)
+        if self.warp_mode == "pallas":
+            from cadepth_tpu.ops.pallas.two_pass_warp import (
+                pallas_two_pass_warp_trainable,
+            )
+
+            # interpret mode on CPU (tests); real Mosaic lowering on TPU
+            interp = jax.default_backend() == "cpu"
+            return pallas_two_pass_warp_trainable(features, theta,
+                                                  "zeros", False, interp)
         if self.warp_mode != "auto":
             raise ValueError(f"Unknown warp_mode: {self.warp_mode}")
         in_bound = jnp.max(jnp.abs(params[:, 4])) < self.rot_bound
