@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""On-chip compile probe for the Mosaic-candidate two-pass warp.
+
+Tries to lower+compile (then run and time) the Pallas warp kernels on
+the real TPU, at the flagship's finest PCL level. Records the outcome —
+compile OK + timings, or the compiler error — so PERF_NOTES can cite a
+dated result either way. Safe to re-run; ~1 min when the remote Mosaic
+compiler works, fails fast when it doesn't.
+
+Usage: python scripts/probe_mosaic_warp.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+_sys_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _sys_dir)
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+    from cadepth_tpu.ops.pallas.two_pass_warp import (
+        pallas_two_pass_warp,
+        pallas_two_pass_warp_trainable,
+    )
+    from cadepth_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    result = {"date": time.strftime("%Y-%m-%d %H:%M"),
+              "device": str(jax.devices()[0])}
+
+    # flagship finest PCL level: b16, 240x320, 64ch, bf16
+    b, h, w, c = 16, 240, 320, 64
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(b, h, w, c)),
+                      dtype=jnp.bfloat16)
+    theta = jnp.asarray(np.tile(
+        np.array([[0.98, -0.01, 0.03], [0.01, 1.02, -0.02]],
+                 np.float32)[None], (b, 1, 1)))
+
+    def timed(fn, *args, iters=20):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    # 1. forward
+    try:
+        fwd = jax.jit(lambda im, th: pallas_two_pass_warp(im, th))
+        ms = timed(fwd, img, theta)
+        ref = jax.jit(lambda im, th: two_pass_affine_warp(im, th))
+        ms_ref = timed(ref, img, theta)
+        got = np.asarray(fwd(img, theta), np.float32)
+        want = np.asarray(ref(img, theta), np.float32)
+        result["forward"] = {
+            "ok": True, "ms": round(ms, 2), "xla_two_pass_ms":
+            round(ms_ref, 2),
+            "max_abs_err_vs_xla": float(np.max(np.abs(got - want)))}
+    except Exception:  # noqa: BLE001 - probe must record, not raise
+        result["forward"] = {"ok": False,
+                             "error": traceback.format_exc()[-1500:]}
+
+    # 2. forward+backward
+    try:
+        def loss_pal(im, th):
+            return jnp.sum(
+                pallas_two_pass_warp_trainable(im, th).astype(jnp.float32))
+
+        def loss_ref(im, th):
+            return jnp.sum(two_pass_affine_warp(im, th).astype(jnp.float32))
+
+        gfn = jax.jit(jax.grad(loss_pal, argnums=(0, 1)))
+        ms = timed(gfn, img, theta)
+        gfn_ref = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))
+        ms_ref = timed(gfn_ref, img, theta)
+        gp = gfn(img, theta)
+        gr = gfn_ref(img, theta)
+        result["grad"] = {
+            "ok": True, "ms": round(ms, 2),
+            "xla_two_pass_ms": round(ms_ref, 2),
+            "d_img_max_err": float(np.max(np.abs(
+                np.asarray(gp[0], np.float32)
+                - np.asarray(gr[0], np.float32)))),
+            "d_theta_max_err": float(np.max(np.abs(
+                np.asarray(gp[1]) - np.asarray(gr[1]))))}
+    except Exception:  # noqa: BLE001
+        result["grad"] = {"ok": False,
+                          "error": traceback.format_exc()[-1500:]}
+
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/mosaic_warp_probe.json"
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=2)
+    print(json.dumps({k: (v if isinstance(v, str) else
+                          {kk: vv for kk, vv in v.items() if kk != "error"})
+                      for k, v in result.items()}, indent=2))
+    return 0 if result.get("forward", {}).get("ok") else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
