@@ -278,7 +278,32 @@ def bench_predictor_latency(iters: int = 30) -> dict:
     return result
 
 
+def _arm_watchdog(minutes: float = 45.0):
+    """If the device runtime wedges (the axon tunnel has been observed
+    to hang jax.devices() for hours), still honor the one-JSON-line
+    stdout contract: print an explicit error record and exit instead of
+    hanging silently. Disarmed the moment the real headline prints."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "sunrgbd_baseline_unet_train_images_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "images/sec",
+            "vs_baseline": 0.0,
+            "headline_kind": "error_device_runtime_hang",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(minutes * 60.0, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
+    watchdog = _arm_watchdog()
+
     from cadepth_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -298,6 +323,7 @@ def main() -> None:
     # headline_kind disambiguates WHICH loop produced the number (the
     # device-resident fed loop vs the pre-staged-batch fallback) so
     # longitudinal consumers of this line never conflate the two.
+    watchdog.cancel()
     print(json.dumps({
         "metric": "sunrgbd_baseline_unet_train_images_per_sec_per_chip",
         "value": round(headline, 2),
