@@ -294,6 +294,26 @@ def test_evaluator_device_resident_sweep_matches_host(pack_dir, tmp_path):
         for k in a:
             np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
 
+    # chunked + quantized sweep (the capacity path for packs bigger
+    # than HBM): same exact full sweep; depth is stored mm-exact so
+    # metrics differ only by rgb u8 rounding through the network
+    cfg_q = config_from_dict({
+        "data": {"input_height": 48, "input_width": 64,
+                 "compute_rays": True,
+                 "device_resident_chunk_samples": 5,
+                 "device_resident_dtype": "quantized"},
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+    })
+    evaluator_q = ModelEvaluator(cfg_q, model, state,
+                                 EvaluationConfig(warmup_iterations=1,
+                                                  batch_size=5))
+    devq = evaluator_q.evaluate(loader, device_resident=True)
+    assert devq.num_samples == len(loader)
+    for a, b in zip(host.per_sample, devq.per_sample):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-3, atol=2e-3,
+                                       err_msg=k)
+
 
 def test_geometry_device_resident_trains(pack_dir, tmp_path):
     """Flagship integration: geometry_aware + sharded HBM feed + aug;
