@@ -50,8 +50,16 @@ from jax.experimental.pallas import tpu as pltpu
 from cadepth_tpu.ops.affine_warp import affine_pixel_coeffs
 
 
-def _tile(n: int, pref: int = 8) -> int:
-    """Largest divisor of ``n`` that is <= pref (static unroll factor)."""
+def _tile(n: int, pref: int = 0) -> int:
+    """Largest divisor of ``n`` <= the preferred static unroll factor.
+
+    Default preference 8; CADEPTH_PALLAS_WARP_TILE=1 gives loop-free
+    kernels (one dot per grid cell, more grid steps) — the most
+    conservative construct mix for a fragile Mosaic toolchain."""
+    import os
+
+    if pref <= 0:
+        pref = int(os.environ.get("CADEPTH_PALLAS_WARP_TILE", "8"))
     for t in range(min(pref, n), 0, -1):
         if n % t == 0:
             return t
