@@ -735,7 +735,16 @@ class ChunkedDeviceDataset:
             raise ValueError(f"prefetch must be auto|thread|serial, "
                              f"got {prefetch!r}")
         if prefetch == "auto":
-            prefetch = "serial" if _serial_h2d_default() else "thread"
+            # operational override for runtimes the heuristic misreads
+            import os
+
+            prefetch = os.environ.get(
+                "CADEPTH_CHUNK_PREFETCH",
+                "serial" if _serial_h2d_default() else "thread")
+            if prefetch not in ("thread", "serial"):
+                raise ValueError(
+                    f"CADEPTH_CHUNK_PREFETCH must be thread|serial, "
+                    f"got {prefetch!r}")
 
         n = len(self.rows)
         if max_samples is not None:
