@@ -344,15 +344,12 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         pcl_warp=_enum(m.get("pcl_warp", "two_pass"),
                        ("two_pass", "auto", "gather", "separable",
                         "pallas"), "model.pcl_warp"),
-        norm=m.get("norm", "batch"),
-        decoder_upsample=m.get("decoder_upsample", "transpose"),
+        norm=_enum(m.get("norm", "batch"), ("batch", "group"),
+                   "model.norm"),
+        decoder_upsample=_enum(m.get("decoder_upsample", "transpose"),
+                               ("transpose", "resize"),
+                               "model.decoder_upsample"),
     )
-    if cfg.model.norm not in ("batch", "group"):
-        raise ValueError(f"model.norm must be batch|group, got "
-                         f"{cfg.model.norm!r}")
-    if cfg.model.decoder_upsample not in ("transpose", "resize"):
-        raise ValueError(f"model.decoder_upsample must be transpose|resize, "
-                         f"got {cfg.model.decoder_upsample!r}")
 
     o = raw.get("optimization", {})
     cfg.optimization = OptimizationConfig(

@@ -552,36 +552,20 @@ class ChunkedDeviceDataset:
         self._gather = jax.jit(self._make_batch,
                                static_argnames=("augment",))
         # Zero-alloc double-buffered staging: two persistent host slots,
-        # prefaulted once here and reused for every chunk. Fresh pages
-        # on some hosts fault in orders of magnitude slower than
-        # recycled ones (measured ~6 MB/s first-touch vs ~1.2 GB/s
-        # reuse on the bench container — proactive-reclaim daemons
-        # fight large fresh allocations), so the producer must never
-        # allocate per chunk. fill() write-faults every page up front.
-        c, h, w = self.chunk_samples, self.height, self.width
-        pack_dt = self._host_rgb.dtype
-
-        def _slot():
-            s = {
-                "rgb": np.empty((c, h, w, 3), np.dtype(self._rgb_dtype)),
-                "depth": np.empty((c, h, w, 1),
-                                  np.dtype(self._depth_dtype)),
-                "k": np.empty((c, 3, 3), np.float32),
-                "gids": np.empty((c,), np.int32),
-            }
-            if np.dtype(self._rgb_dtype) != pack_dt:
-                s["rgb_scratch"] = np.empty((c, h, w, 3), pack_dt)
-            if np.dtype(self._depth_dtype) != self._host_depth.dtype:
-                s["depth_scratch"] = np.empty((c, h, w, 1),
-                                              self._host_depth.dtype)
-            for a in s.values():
-                a.fill(0)
-            return s
-
-        self._slots = [_slot(), _slot()]
+        # prefaulted once and reused for every chunk. Fresh pages on
+        # some hosts fault in orders of magnitude slower than recycled
+        # ones (measured ~6 MB/s first-touch vs ~1.2 GB/s reuse on the
+        # bench container — proactive-reclaim daemons fight large fresh
+        # allocations), so the producer must never allocate per chunk.
+        # Capacity follows the EFFECTIVE chunk (batches() rounds the
+        # chunk up to batch_size when batch_size > chunk_samples), so
+        # allocation is lazy via _ensure_slots.
+        self._slots = None
+        self._slot_capacity = 0
         # device arrays produced from each slot; block on them before
         # the slot's host memory is overwritten (device_put is async)
         self._slot_inflight: list = [None, None]
+        self._ensure_slots(self.chunk_samples)
         # On the CPU backend device_put ALIASES the numpy buffer
         # (zero-copy): block_until_ready is trivially true and pending
         # gathers read the slot's live memory, so reuse would corrupt
@@ -602,12 +586,49 @@ class ChunkedDeviceDataset:
                                 + k.ravel()[0]
                                 + g[0].astype(jnp.float32)))
 
+    def _ensure_slots(self, capacity: int) -> None:
+        """(Re)allocate the two staging slots to hold ``capacity``
+        samples. No-op when already big enough; otherwise blocks any
+        inflight transfers first (their host memory is being replaced)."""
+        capacity = min(max(capacity, 1), len(self.rows))
+        if self._slots is not None and self._slot_capacity >= capacity:
+            return
+        for infl in self._slot_inflight:
+            if infl is not None:
+                jax.block_until_ready(infl)
+        self._slot_inflight = [None, None]
+        c, h, w = capacity, self.height, self.width
+        pack_dt = self._host_rgb.dtype
+
+        def _slot():
+            s = {
+                "rgb": np.empty((c, h, w, 3), np.dtype(self._rgb_dtype)),
+                "depth": np.empty((c, h, w, 1),
+                                  np.dtype(self._depth_dtype)),
+                "k": np.empty((c, 3, 3), np.float32),
+                "gids": np.empty((c,), np.int32),
+            }
+            if np.dtype(self._rgb_dtype) != pack_dt:
+                s["rgb_scratch"] = np.empty((c, h, w, 3), pack_dt)
+            if np.dtype(self._depth_dtype) != self._host_depth.dtype:
+                s["depth_scratch"] = np.empty((c, h, w, 1),
+                                              self._host_depth.dtype)
+            for a in s.values():
+                a.fill(0)
+            return s
+
+        self._slots = [_slot(), _slot()]
+        self._slot_capacity = c
+
     def __len__(self) -> int:
         return len(self.rows)
 
     def nbytes(self) -> int:
-        """Per-buffer HBM footprint (x2 resident while double-buffered)."""
-        c = self.chunk_samples
+        """Per-buffer HBM footprint. Two chunks are resident while
+        double-buffered (thread mode briefly pins a third while the
+        producer waits to enqueue — budget ~2x plus one batch of gather
+        outputs; serial mode holds exactly two)."""
+        c = max(self.chunk_samples, self._slot_capacity)
         sample = (np.dtype(self._rgb_dtype).itemsize * 3
                   + np.dtype(self._depth_dtype).itemsize) \
             * self.height * self.width
@@ -756,6 +777,7 @@ class ChunkedDeviceDataset:
         # would diverge from the resident path
         c = max(self.chunk_samples - self.chunk_samples % batch_size,
                 batch_size)
+        self._ensure_slots(c)   # batch_size may exceed chunk_samples
         chunk_slices = [order[s:s + c] for s in range(0, n, c)]
 
         ep = jnp.int32(epoch)
@@ -800,9 +822,15 @@ class ChunkedDeviceDataset:
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=1)
+        # cap live chunks at TWO (the documented HBM budget): the
+        # producer may only upload chunk k+1 once the consumer has
+        # finished chunk k-1 — without this token the producer uploads
+        # k+2 while blocked on q.put and three chunks pin HBM at once
+        tokens = threading.Semaphore(2)
 
         def producer():
             for i, sl in enumerate(chunk_slices):
+                tokens.acquire()
                 q.put(self._upload(sl, slot=i % 2))
             q.put(None)
 
@@ -811,6 +839,8 @@ class ChunkedDeviceDataset:
         buf = q.get()
         while buf is not None:
             yield from chunk_batches(buf)
+            buf = None          # drop our reference before the release
+            tokens.release()
             buf = q.get()
         t.join()
 

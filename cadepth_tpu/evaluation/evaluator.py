@@ -111,12 +111,16 @@ class ModelEvaluator:
                 pipe = cds.batches(bsz, shuffle=False, epoch=0,
                                    augment=False, drop_remainder=False,
                                    max_samples=n)
-                warm = cds._upload(np.arange(min(chunk, n)), slot=0,
-                                   block=True)
+                # warm against the sweep's EFFECTIVE chunk shape
+                # (batches() rounds the chunk to a batch multiple), so
+                # the timed loop never compiles a new gather shape
+                c_eff = min(max(cds.chunk_samples
+                                - cds.chunk_samples % bsz, bsz), n)
+                warm = cds._upload(np.arange(c_eff), slot=0, block=True)
                 warm = cds._gather(
                     warm["rgb"], warm["depth"], warm["k"], warm["gids"],
-                    jnp.asarray(np.arange(bsz) % max(min(chunk, n), 1),
-                                jnp.int32), jnp.int32(0), augment=False)
+                    jnp.asarray(np.arange(bsz) % c_eff, jnp.int32),
+                    jnp.int32(0), augment=False)
             else:
                 ds = DeviceDataset(loader, **ds_kw)
 

@@ -188,9 +188,23 @@ class Predictor:
 
     def _device_batch(self, rgb, intrinsics) -> Dict[str, jax.Array]:
         want = self._shapes["rgb"].shape
+        want_dt = self._shapes["rgb"].dtype
         if tuple(rgb.shape) != want:
             raise ValueError(f"device input must be the compiled shape "
                              f"{want}, got {tuple(rgb.shape)}")
+        if rgb.dtype != want_dt:
+            # the AOT executable was compiled for fixed avals; a near-miss
+            # dtype would die inside it with an opaque argument error
+            raise ValueError(f"device input must be the compiled dtype "
+                             f"{want_dt}, got {rgb.dtype}")
+        if intrinsics is not None:
+            if tuple(intrinsics.shape) != (want[0], 3, 3):
+                raise ValueError(
+                    f"device intrinsics must be ({want[0]}, 3, 3), got "
+                    f"{tuple(intrinsics.shape)}")
+            if intrinsics.dtype != jnp.float32:
+                raise ValueError(f"device intrinsics must be float32, "
+                                 f"got {intrinsics.dtype}")
         if intrinsics is None:
             if not hasattr(self, "_default_k_dev"):
                 k4 = _default_k4(self.batch_size, self.height, self.width)

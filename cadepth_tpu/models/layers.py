@@ -35,7 +35,11 @@ def apply_norm(x, kind: str, train: bool, name: str, out_dtype):
         x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32,
                          name=name)(x)
     elif kind == "group":
-        x = nn.GroupNorm(num_groups=min(32, x.shape[-1]), dtype=jnp.float32,
+        # largest divisor of C that is <= 32 (GroupNorm requires
+        # C % num_groups == 0; e.g. C=48 -> 16 groups, C=12 -> 12)
+        ch = x.shape[-1]
+        groups = next(g for g in range(min(32, ch), 0, -1) if ch % g == 0)
+        x = nn.GroupNorm(num_groups=groups, dtype=jnp.float32,
                          name=name)(x)
     else:
         raise ValueError(f"Unknown norm kind: {kind!r}")

@@ -371,7 +371,11 @@ class Trainer:
             if self._preempted:
                 break
             self.state, logs = self.train_step(self.state, batch)
-            self._last_train_batch = batch
+            if self.cfg.logging.log_histogram_interval:
+                # retained ONLY when gradient histograms will consume it
+                # (_log_gradient_histograms) — pinning a full batch in
+                # device memory is real HBM on capacity-bound configs
+                self._last_train_batch = batch
             timer.step(cfg.training.batch_size)
             losses.append(logs["total_loss"])
             last_logs = logs

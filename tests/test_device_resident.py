@@ -553,6 +553,23 @@ def test_chunked_thread_mode_slot_reuse_race(pack_dir):
                     err_msg=f"trial {trial} batch {i} key {k}")
 
 
+def test_chunked_batch_bigger_than_chunk(pack_dir):
+    """batch_size > chunk_samples: batches() rounds the effective chunk
+    up to the batch size and the staging slots must grow with it
+    (regression: np.take used to crash on the too-small slot)."""
+    from cadepth_tpu.data import ChunkedDeviceDataset
+
+    loader, ds = make_ds(pack_dir)
+    chunked = ChunkedDeviceDataset(loader, chunk_samples=4)
+    want = list(ds.batches(8, shuffle=True, seed=3, epoch=0))
+    got = list(chunked.batches(8, shuffle=True, seed=3, epoch=0))
+    assert len(got) == len(want) > 0
+    for bw, bg in zip(want, got):
+        for k in bw:
+            np.testing.assert_array_equal(np.asarray(bw[k]),
+                                          np.asarray(bg[k]), err_msg=k)
+
+
 def test_chunked_quantized_requires_both(pack_dir):
     from cadepth_tpu.data import ChunkedDeviceDataset
 

@@ -194,7 +194,10 @@ def test_baseline_unet_experiment_knobs(rng, norm, upsample):
     valid outputs, gradients flow, and group-norm leaves no batch
     statistics behind."""
     rgb, _, _ = make_inputs(rng)
-    model = BaselineUNet(init_features=8, dtype=jnp.float32, norm=norm,
+    # group cases use f=12 so a non-multiple-of-32 width (48 channels at
+    # the f*4 level) exercises the divisor-based num_groups choice
+    feats = 12 if norm == "group" else 8
+    model = BaselineUNet(init_features=feats, dtype=jnp.float32, norm=norm,
                          decoder_upsample=upsample)
     variables = model.init(jax.random.PRNGKey(0), rgb)
     out = model.apply(variables, rgb)
