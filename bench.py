@@ -278,22 +278,71 @@ def bench_predictor_latency(iters: int = 30) -> dict:
     return result
 
 
-def _arm_watchdog(minutes: float = 45.0):
+_T0 = time.time()
+
+
+def _progress(msg: str) -> None:
+    """Timestamped per-phase progress to stderr, so any future driver
+    timeout is diagnosable from the captured log (VERDICT r3 item 1c)."""
+    print(f"[bench +{time.time() - _T0:6.0f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+class _Reporter:
+    """Owns the ONE stdout JSON line (driver contract).
+
+    ``update`` records the best-available headline as phases complete;
+    ``print_headline`` emits it exactly once — a lock + flag make the
+    watchdog-vs-main race benign (Timer.cancel cannot stop a fire()
+    already running, so both paths go through the same guarded print).
+    """
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._printed = False
+        self.value = 0.0
+        self.kind = "error_device_runtime_hang"
+
+    def update(self, value: float, kind: str) -> None:
+        with self._lock:
+            if not self._printed:
+                self.value, self.kind = value, kind
+
+    def print_headline(self) -> bool:
+        with self._lock:
+            if self._printed:
+                return False
+            self._printed = True
+            print(json.dumps({
+                "metric":
+                    "sunrgbd_baseline_unet_train_images_per_sec_per_chip",
+                "value": round(self.value, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(self.value / BASELINE_IMAGES_PER_SEC, 2),
+                "headline_kind": self.kind,
+            }), flush=True)
+            sys.stdout.flush()
+            return True
+
+
+def _arm_watchdog(reporter: _Reporter, minutes: float):
     """If the device runtime wedges (the axon tunnel has been observed
-    to hang jax.devices() for hours), still honor the one-JSON-line
-    stdout contract: print an explicit error record and exit instead of
-    hanging silently. Disarmed the moment the real headline prints."""
+    to hang jax.devices() for hours — it cost round 3 its headline),
+    still honor the one-JSON-line stdout contract WITHIN the driver's
+    window: print the best figure any completed phase produced (or the
+    explicit error record if none did) and exit. Armed before any jax
+    import; fires well inside the driver's observed patience (round 3's
+    45-minute arm was longer than the driver waited)."""
     import threading
 
     def fire():
-        print(json.dumps({
-            "metric": "sunrgbd_baseline_unet_train_images_per_sec_per_chip",
-            "value": 0.0,
-            "unit": "images/sec",
-            "vs_baseline": 0.0,
-            "headline_kind": "error_device_runtime_hang",
-        }), flush=True)
-        os._exit(3)
+        had_number = reporter.value > 0.0
+        if reporter.print_headline():
+            _progress(f"WATCHDOG fired at {minutes:.0f} min — printed "
+                      f"{reporter.kind} and exiting")
+        os._exit(0 if had_number else 3)
 
     t = threading.Timer(minutes * 60.0, fire)
     t.daemon = True
@@ -301,125 +350,206 @@ def _arm_watchdog(minutes: float = 45.0):
     return t
 
 
+def bench_predictor_batched(batch: int = 8) -> dict:
+    """Batched serving throughput through the AOT Predictor (VERDICT r3
+    item 8): compiled-executable images/s at the serving batch size —
+    the FPS-reporting intent of `evaluator.h:44-47` on the serving path."""
+    import jax
+
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.inference import Predictor
+    from cadepth_tpu.training.schedule import build_lr_schedule
+    from cadepth_tpu.training.train_state import (
+        build_model_and_loss,
+        build_optimizer,
+        create_train_state,
+    )
+    from __graft_entry__ import _example_batch
+
+    cfg = config_from_dict({
+        "model": {"architecture": "baseline_unet", "init_features": 64},
+        "data": {"compute_rays": True,
+                 "input_height": HEIGHT, "input_width": WIDTH},
+        "training": {"use_amp": True},
+    })
+    model, _ = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization,
+                         build_lr_schedule(cfg.optimization, 1, 1))
+    init = {k: jax.device_put(v)
+            for k, v in _example_batch(1, HEIGHT, WIDTH).items()}
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), init)
+    pred = Predictor(cfg, state, batch_size=batch)
+    stats = pred.benchmark(iterations=30)
+    return {"batch_size": batch,
+            "images_per_sec": round(stats["images_per_sec"], 1),
+            "p50_ms": round(stats["p50_ms"], 2)}
+
+
+def _minutes_env(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
 def main() -> None:
-    watchdog = _arm_watchdog()
+    # Deadlines (minutes). The watchdog must beat the driver's kill —
+    # round 3's 45-min arm demonstrably did not (BENCH_r03 rc=124 with
+    # nothing on stdout); ~11 min is safely inside the observed window.
+    watchdog_min = _minutes_env("CADEPTH_BENCH_WATCHDOG_MIN", 11.0)
+    headline_deadline_min = _minutes_env("CADEPTH_BENCH_HEADLINE_MIN", 8.0)
+    total_min = _minutes_env("CADEPTH_BENCH_TOTAL_MIN", 120.0)
+
+    reporter = _Reporter()
+    watchdog = _arm_watchdog(reporter, watchdog_min)
+    _progress(f"start (watchdog {watchdog_min:.0f} min, headline deadline "
+              f"{headline_deadline_min:.0f} min, total {total_min:.0f} min)")
 
     from cadepth_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    _progress("compilation cache enabled; importing jax/flax done")
 
-    # Headline: the REAL training loop — batches flow from the
-    # HBM-resident dataset with on-device augmentation every step
-    # (not a pre-staged batch). Falls back to the pre-staged device
-    # step if the device-resident path ever fails here.
+    detail: dict = {}
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+
+    def flush_detail():
+        # incremental write: a later kill never loses completed phases
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=2)
+        except OSError:
+            pass
+
+    # Phase 1 — pre-staged device step: the fastest route to ANY number
+    # on the board (compile ~30 s warm-cache; shares its HLO with the
+    # device-resident step via the persistent cache). If the runtime
+    # wedges after this, the watchdog prints this figure instead of the
+    # error record.
     try:
-        headline = bench_device_resident(batch=16, steps=40, augment=True,
-                                         windows=2)
-        headline_kind = "device_resident_fed"
-    except Exception:  # noqa: BLE001 - headline must always print
-        headline = bench_device_step("baseline_unet", batch=16, steps=50,
-                                     windows=2, init_features=64)
-        headline_kind = "device_step_prestaged"
-    # headline_kind disambiguates WHICH loop produced the number (the
-    # device-resident fed loop vs the pre-staged-batch fallback) so
-    # longitudinal consumers of this line never conflate the two.
+        _progress("phase device_step: baseline_unet b16 240x320")
+        dstep = bench_device_step("baseline_unet", batch=16, steps=50,
+                                  windows=2, init_features=64)
+        reporter.update(dstep, "device_step_prestaged")
+        detail["baseline_unet_device_step_img_per_sec"] = round(dstep, 2)
+        _progress(f"device_step done: {dstep:.1f} img/s")
+    except Exception as exc:  # noqa: BLE001 - headline must always print
+        detail["device_step_error"] = repr(exc)
+        _progress(f"device_step FAILED: {exc!r}")
+    flush_detail()
+
+    # Phase 2 — the REAL headline: the training loop fed by the
+    # HBM-resident dataset with on-device augmentation every step (not
+    # a pre-staged batch). Skipped only when phase 1 already consumed
+    # the headline budget (cold compile on a slow tunnel) — the
+    # device-step figure then ships as the headline.
+    if (time.time() - _T0) / 60.0 < headline_deadline_min:
+        try:
+            _progress("phase device_resident_fed: headline loop")
+            fed = bench_device_resident(batch=16, steps=40, augment=True,
+                                        windows=2)
+            reporter.update(fed, "device_resident_fed")
+            detail["baseline_unet_device_resident_img_per_sec"] = \
+                round(fed, 2)
+            _progress(f"device_resident_fed done: {fed:.1f} img/s")
+        except Exception as exc:  # noqa: BLE001
+            detail["device_resident_error"] = repr(exc)
+            _progress(f"device_resident_fed FAILED: {exc!r}")
+    else:
+        _progress("headline deadline passed — shipping the device-step "
+                  "figure as the headline")
+
+    # headline_kind disambiguates WHICH loop produced the number so
+    # longitudinal consumers never conflate fed vs pre-staged.
+    detail["headline_kind"] = reporter.kind
+    detail["headline_img_per_sec"] = round(reporter.value, 2)
+    reporter.print_headline()
     watchdog.cancel()
-    print(json.dumps({
-        "metric": "sunrgbd_baseline_unet_train_images_per_sec_per_chip",
-        "value": round(headline, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(headline / BASELINE_IMAGES_PER_SEC, 2),
-        "headline_kind": headline_kind,
-    }))
-    sys.stdout.flush()
+    flush_detail()
 
     if os.environ.get("CADEPTH_BENCH_FULL", "1") == "0":
         return
 
-    detail = {"headline_kind": headline_kind,
-              "baseline_unet_%s_img_per_sec" % headline_kind:
-              round(headline, 2)}
-    try:
-        dstep = bench_device_step("baseline_unet", batch=16, steps=50,
-                                  windows=2, init_features=64)
-        detail["baseline_unet_device_step_img_per_sec"] = round(dstep, 2)
-    except Exception as exc:  # noqa: BLE001
-        detail["device_step_error"] = repr(exc)
-    try:
-        geo = bench_device_step("geometry_aware", batch=4, steps=30,
-                                init_features=64)
-        detail["geometry_aware_device_step_img_per_sec"] = round(geo, 2)
-    except Exception as exc:  # noqa: BLE001 - detail benches must not kill the headline
-        detail["geometry_aware_error"] = repr(exc)
-    try:
-        geo16 = bench_device_step("geometry_aware", batch=16, steps=30,
-                                  init_features=64, pcl_warp="two_pass")
-        detail["geometry_aware_b16_two_pass_img_per_sec"] = round(geo16, 2)
-    except Exception as exc:  # noqa: BLE001
-        detail["geometry_aware_b16_error"] = repr(exc)
-    try:
-        fed = bench_pipeline_fed(batch=16, steps=20)
-        detail["baseline_unet_pipeline_fed_img_per_sec"] = round(fed, 2)
+    # Detail benches, opportunistic: each phase checks the remaining
+    # total budget first, and the detail file is rewritten after every
+    # phase. A hang inside one phase is bounded by the exit timer.
+    import threading
+
+    def _final_exit():
+        _progress(f"total budget ({total_min:.0f} min) reached — exiting "
+                  "with completed detail phases")
+        flush_detail()
+        os._exit(0)
+
+    exit_timer = threading.Timer(total_min * 60.0, _final_exit)
+    exit_timer.daemon = True
+    exit_timer.start()
+
+    def budget_left() -> float:
+        return total_min - (time.time() - _T0) / 60.0
+
+    def phase(key: str, min_budget: float, fn, *args, **kw):
+        if budget_left() < min_budget:
+            detail[f"{key}_skipped"] = (
+                f"budget: {budget_left():.1f} min left < {min_budget}")
+            _progress(f"phase {key} skipped (budget)")
+            return None
+        _progress(f"phase {key} (budget left {budget_left():.0f} min)")
+        try:
+            out = fn(*args, **kw)
+            detail[key] = round(out, 2) if isinstance(out, float) else out
+            _progress(f"phase {key} done: {detail[key]}")
+            return out
+        except Exception as exc:  # noqa: BLE001 - detail must not kill the run
+            detail[f"{key}_error"] = repr(exc)
+            _progress(f"phase {key} FAILED: {exc!r}")
+            return None
+        finally:
+            flush_detail()
+
+    phase("geometry_aware_device_step_img_per_sec", 25.0,
+          bench_device_step, "geometry_aware", batch=4, steps=30,
+          init_features=64)
+    phase("geometry_aware_b16_two_pass_img_per_sec", 25.0,
+          bench_device_step, "geometry_aware", batch=16, steps=30,
+          init_features=64, pcl_warp="two_pass")
+    if phase("baseline_unet_pipeline_fed_img_per_sec", 10.0,
+             bench_pipeline_fed, batch=16, steps=20) is not None:
         detail["pipeline_note"] = (
             "host-decode-in-loop on a %s-core container; TPU-VM hosts have "
             "~100+ cores" % (os.cpu_count() or 1))
-    except Exception as exc:  # noqa: BLE001
-        detail["pipeline_fed_error"] = repr(exc)
-    try:
-        fed_packed = bench_pipeline_fed(batch=16, steps=20, packed=True)
-        detail["baseline_unet_packed_fed_img_per_sec"] = round(fed_packed, 2)
-    except Exception as exc:  # noqa: BLE001
-        detail["packed_fed_error"] = repr(exc)
-    try:
-        # production-resolution capacity story: the full 480x640 pack
-        # cannot sit in HBM, so the chunk-rotating feed is the honest
-        # fed number to compare against the pre-staged device step
-        dstep480 = bench_device_step("baseline_unet", batch=16, steps=10,
-                                     windows=2, init_features=64,
-                                     height=480, width=640)
-        detail["baseline_unet_480x640_device_step_img_per_sec"] = \
-            round(dstep480, 2)
-        fed480 = bench_device_resident(batch=16, steps=20, augment=True,
-                                       windows=2, height=480, width=640,
-                                       chunk_samples=64,
-                                       images_per_sensor=32)
-        detail["baseline_unet_480x640_chunked_fed_img_per_sec"] = \
-            round(fed480, 2)
+    phase("baseline_unet_packed_fed_img_per_sec", 10.0,
+          bench_pipeline_fed, batch=16, steps=20, packed=True)
+    # production-resolution capacity story: the full 480x640 pack cannot
+    # sit in HBM, so the chunk-rotating feed is the honest fed number to
+    # compare against the pre-staged device step
+    dstep480 = phase("baseline_unet_480x640_device_step_img_per_sec", 20.0,
+                     bench_device_step, "baseline_unet", batch=16, steps=10,
+                     windows=2, init_features=64, height=480, width=640)
+    fed480 = phase("baseline_unet_480x640_chunked_fed_img_per_sec", 15.0,
+                   bench_device_resident, batch=16, steps=20, augment=True,
+                   windows=2, height=480, width=640, chunk_samples=64,
+                   images_per_sensor=32)
+    if fed480 and dstep480:
         detail["chunked_fed_fraction_of_device_step"] = \
-            round(fed480 / dstep480, 3) if dstep480 else None
-        # quantized storage (rgb u8 / depth u16 mm): 3.2x less H2D per
-        # chunk — the recommended chunked setting
-        fed480q = bench_device_resident(batch=16, steps=20, augment=True,
-                                        windows=2, height=480, width=640,
-                                        chunk_samples=64,
-                                        images_per_sensor=32,
-                                        quantized=True)
-        detail["baseline_unet_480x640_chunked_quant_fed_img_per_sec"] = \
-            round(fed480q, 2)
+            round(fed480 / dstep480, 3)
+    # quantized storage (rgb u8 / depth u16 mm): 3.2x less H2D per
+    # chunk — the recommended chunked setting
+    fed480q = phase("baseline_unet_480x640_chunked_quant_fed_img_per_sec",
+                    15.0, bench_device_resident, batch=16, steps=20,
+                    augment=True, windows=2, height=480, width=640,
+                    chunk_samples=64, images_per_sensor=32, quantized=True)
+    if fed480q and dstep480:
         detail["chunked_quant_fed_fraction_of_device_step"] = \
-            round(fed480q / dstep480, 3) if dstep480 else None
-    except Exception as exc:  # noqa: BLE001
-        detail["bench_480_error"] = repr(exc)
-    if headline_kind == "device_resident_fed":
-        detail["baseline_unet_device_resident_img_per_sec"] = round(headline, 2)
-    else:
-        try:
-            devres = bench_device_resident(batch=16, steps=30, augment=True)
-            detail["baseline_unet_device_resident_img_per_sec"] = round(devres, 2)
-        except Exception as exc:  # noqa: BLE001
-            detail["device_resident_error"] = repr(exc)
-    try:
-        detail["predictor_single_image_ms"] = bench_predictor_latency()
-    except Exception as exc:  # noqa: BLE001
-        detail["predictor_error"] = repr(exc)
+            round(fed480q / dstep480, 3)
+    phase("predictor_single_image_ms", 8.0, bench_predictor_latency)
+    phase("predictor_batched_b8", 8.0, bench_predictor_batched, batch=8)
+    phase("predictor_batched_b16", 8.0, bench_predictor_batched, batch=16)
 
+    exit_timer.cancel()
     print(json.dumps(detail, indent=2), file=sys.stderr)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as f:
-            json.dump(detail, f, indent=2)
-    except OSError:
-        pass
+    flush_detail()
 
 
 if __name__ == "__main__":
