@@ -120,6 +120,27 @@ def _serial_h2d_default() -> bool:
     return "axon" in plats or "axon" in os.environ.get("JAX_PLATFORMS", "")
 
 
+def serial_fed_fraction(compute_s_per_sample: float,
+                        bytes_per_sample: float,
+                        wire_bytes_per_s: float) -> float:
+    """Steady-state fed fraction of the SERIAL chunk feed.
+
+    With uploads strictly alternating with compute (``prefetch=
+    "serial"``), each sample costs ``compute + bytes/wire`` wall
+    seconds, so the fed loop runs at ``compute / (compute +
+    bytes/wire)`` of the pure device step. This is the binding model
+    for tunneled runtimes (PERF_NOTES 'the tunnel's true wire rate':
+    13.6 ms/sample compute + 1.54 MB/sample quantized at ~55 MB/s
+    caps the fed fraction at ~33%). Thread mode instead overlaps the
+    two — its bound is ``min(1, compute / max(compute, bytes/wire))``
+    per sample, i.e. fed-at-device-speed whenever the wire outpaces
+    compute — asserted by the scheduling test
+    ``test_chunked_thread_overlap_hides_upload``.
+    """
+    upload = bytes_per_sample / wire_bytes_per_s
+    return compute_s_per_sample / (compute_s_per_sample + upload)
+
+
 def _axis_matrices(out_size: int, crop0, crop_len, flip):
     """Per-sample (out, in) bilinear tent + nearest one-hot matrices for
     one axis of a crop->(flip)->resize-back composition.
@@ -226,7 +247,46 @@ class DeviceDataset:
 
     def __init__(self, loader, rgb_dtype=jnp.float32,
                  depth_dtype=jnp.float32, sharding=None,
-                 mesh=None, mesh_axis: str = "data"):
+                 mesh=None, mesh_axis: str = "data",
+                 share_storage_from: Optional["DeviceDataset"] = None):
+        if share_storage_from is not None:
+            # Shared-storage construction: reuse another instance's HBM
+            # buffers (one upload for train+val when the reference's
+            # non-filtering split quirk makes their row lists coincide)
+            # while keeping THIS split's identity — split name,
+            # augmentation flags/config, and a fresh jitted gather bound
+            # to this instance (so augment-time draws use this split's
+            # aug_config, and attributes added later can never silently
+            # alias across splits the way a __dict__ copy would).
+            donor = share_storage_from
+            rows = [s["row"] for s in loader.sample_paths]
+            if rows != list(donor.rows):
+                raise ValueError(
+                    "share_storage_from requires identical sample rows "
+                    f"(got {len(rows)} vs donor {len(donor.rows)})")
+            if (loader.target_height, loader.target_width) != \
+                    (donor.height, donor.width):
+                raise ValueError(
+                    "share_storage_from requires matching resolution "
+                    f"({loader.target_height}x{loader.target_width} vs "
+                    f"donor {donor.height}x{donor.width})")
+            self.height, self.width = donor.height, donor.width
+            self.aug_config = loader.aug_config
+            self.augmentation_enabled = loader.augmentation_enabled
+            self.split = loader.split
+            self.rows = donor.rows
+            self._sharding = donor._sharding
+            self.mesh = donor.mesh
+            self.mesh_axis = donor.mesh_axis
+            self.n_shards = donor.n_shards
+            self.shard_size = donor.shard_size
+            self.rgb, self.depth, self.k = donor.rgb, donor.depth, donor.k
+            if self.mesh is None:
+                self._gather = jax.jit(self._make_batch,
+                                       static_argnames=("augment",))
+            else:
+                self._gather = self._build_sharded_gather()
+            return
         if (loader.target_height, loader.target_width) != \
                 tuple(loader._rgb.shape[1:3]):
             raise ValueError(
@@ -827,22 +887,63 @@ class ChunkedDeviceDataset:
         # finished chunk k-1 — without this token the producer uploads
         # k+2 while blocked on q.put and three chunks pin HBM at once
         tokens = threading.Semaphore(2)
+        # Abandonment protocol: if the consumer leaves the generator
+        # early (break / exception mid-epoch), the producer must not
+        # stay blocked owning the shared staging slots — a later
+        # batches() call would then race its uploads against the stuck
+        # thread's writes. Every producer wait polls this event, and the
+        # consumer's finally sets it, drains the queue, and JOINS the
+        # producer, so generator exit returns the slots to the instance.
+        stop = threading.Event()
+
+        err: list = []
 
         def producer():
-            for i, sl in enumerate(chunk_slices):
-                tokens.acquire()
-                q.put(self._upload(sl, slot=i % 2))
-            q.put(None)
+            try:
+                for i, sl in enumerate(chunk_slices):
+                    while not tokens.acquire(timeout=0.1):
+                        if stop.is_set():
+                            return
+                    if stop.is_set():
+                        return
+                    buf = self._upload(sl, slot=i % 2)
+                    while not stop.is_set():
+                        try:
+                            q.put(buf, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    else:
+                        return
+            except Exception as exc:  # noqa: BLE001 - re-raised by consumer
+                err.append(exc)
+            # sentinel (also after an error, to wake a blocked consumer)
+            while not stop.is_set():
+                try:
+                    q.put(None, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        buf = q.get()
-        while buf is not None:
-            yield from chunk_batches(buf)
-            buf = None          # drop our reference before the release
-            tokens.release()
+        try:
             buf = q.get()
-        t.join()
+            while buf is not None:
+                yield from chunk_batches(buf)
+                buf = None      # drop our reference before the release
+                tokens.release()
+                buf = q.get()
+            if err:
+                raise err[0]
+        finally:
+            stop.set()
+            try:
+                while True:     # unblock a producer stuck in q.put
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join()
 
 
 class DevicePipeline:

@@ -116,6 +116,11 @@ class ModelEvaluator:
                 # the timed loop never compiles a new gather shape
                 c_eff = min(max(cds.chunk_samples
                                 - cds.chunk_samples % bsz, bsz), n)
+                # grow the staging slots to the effective chunk before
+                # this direct _upload — batches() does this itself, but
+                # the warm-up path bypasses it (with batch_size >
+                # chunk_samples the slots are otherwise too small)
+                cds._ensure_slots(c_eff)
                 warm = cds._upload(np.arange(c_eff), slot=0, block=True)
                 warm = cds._gather(
                     warm["rgb"], warm["depth"], warm["k"], warm["gids"],

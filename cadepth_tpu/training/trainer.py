@@ -204,10 +204,10 @@ class Trainer:
             ds_kw["mesh_axis"] = self.mesh.axis_names[0]
         train_ds = DeviceDataset(self.train_loader, **ds_kw)
         if [s["row"] for s in self.val_loader.sample_paths] == list(train_ds.rows):
-            val_ds = DeviceDataset.__new__(DeviceDataset)
-            val_ds.__dict__.update(train_ds.__dict__)
-            val_ds.split = self.val_loader.split
-            val_ds.augmentation_enabled = self.val_loader.augmentation_enabled
+            # one HBM upload serves both splits; the explicit constructor
+            # keeps split/augmentation identity per-instance (no aliasing)
+            val_ds = DeviceDataset(self.val_loader,
+                                   share_storage_from=train_ds)
         else:
             val_ds = DeviceDataset(self.val_loader, **ds_kw)
         self.train_pipe = DevicePipeline(
@@ -529,8 +529,26 @@ class Trainer:
                                    val_metrics.get("delta_1.25^3", 0.0), epoch)
                 if "pcl_max_rot" in val_metrics:
                     # live check of the two_pass warp's sub-pixel bound
-                    self.tb.add_scalar("training/pcl_max_rot",
-                                       val_metrics["pcl_max_rot"], epoch)
+                    rot = val_metrics["pcl_max_rot"]
+                    self.tb.add_scalar("training/pcl_max_rot", rot, epoch)
+                    # greppable in training.log so quality runs carry
+                    # the observed rotation alongside their metrics
+                    self.log(f"pcl_max_rot: {rot:.5f}")
+                    # GEMM warps are exact only while |rot| stays small
+                    # (<= |tan rot| px kernel displacement; separable
+                    # silently DROPS rotation). Surface leaving the
+                    # validated regime loudly, not just as a TB scalar.
+                    from cadepth_tpu.models.pcl import DEFAULT_ROT_BOUND
+                    if cfg.model.pcl_warp in ("two_pass", "separable",
+                                              "pallas") \
+                            and rot > 0.8 * DEFAULT_ROT_BOUND:
+                        self.log(
+                            f"WARNING: pcl_max_rot={rot:.4f} approaches "
+                            f"the {cfg.model.pcl_warp} warp's validated "
+                            f"rotation bound ({DEFAULT_ROT_BOUND}); the "
+                            "warp kernel displacement may exceed a pixel "
+                            "— consider model.pcl_warp: auto (exact "
+                            "gather fallback) for this workload")
                 self.visualize(epoch)
 
             if cfg.logging.log_histogram_interval and \

@@ -612,3 +612,206 @@ def test_device_resident_requires_pack_resolution(pack_dir):
                                  target_width=32, rays_on_device=True)
     with pytest.raises(ValueError, match="target resolution"):
         DeviceDataset(loader)
+
+
+def test_share_storage_from_shares_buffers_keeps_identity(pack_dir):
+    """Explicit shared-storage construction (one HBM upload serves both
+    splits under the reference's non-filtering split quirk): the val
+    instance must alias the donor's device buffers but keep its OWN
+    split/augmentation identity — the invariant the old __new__ +
+    __dict__.update shortcut could not guarantee."""
+    train_loader = PackedSunRGBDLoader(pack_dir, split="train",
+                                       compute_rays=True,
+                                       rays_on_device=True)
+    train_loader.enable_augmentation(train_loader.aug_config)
+    train_ds = DeviceDataset(train_loader)
+    val_loader = PackedSunRGBDLoader(pack_dir, split="val",
+                                     compute_rays=True,
+                                     rays_on_device=True)
+    val_ds = DeviceDataset(val_loader, share_storage_from=train_ds)
+    # storage aliased: same device arrays, no second upload
+    assert val_ds.rgb is train_ds.rgb
+    assert val_ds.depth is train_ds.depth
+    assert val_ds.k is train_ds.k
+    # identity NOT aliased
+    assert val_ds.split == "val" and train_ds.split == "train"
+    assert not val_ds.augmentation_enabled
+    assert train_ds.augmentation_enabled
+    # gather parity through the shared buffers
+    idx = [1, 7, 3]
+    got = val_ds._gather(jnp.asarray(idx, jnp.int32), jnp.int32(0),
+                         augment=False)
+    want = val_loader.fast_batch(idx)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), want[k])
+
+
+def test_share_storage_from_rejects_mismatch(pack_dir):
+    _, train_ds = make_ds(pack_dir, split="train")
+    # resolution mismatch
+    small = PackedSunRGBDLoader(pack_dir, split="val", target_height=32,
+                                target_width=32, rays_on_device=True)
+    with pytest.raises(ValueError, match="matching resolution"):
+        DeviceDataset(small, share_storage_from=train_ds)
+    # row mismatch (opt-in split filtering changes the row list)
+    filt = PackedSunRGBDLoader(pack_dir, split="val", compute_rays=True,
+                               rays_on_device=True, split_filtering=True)
+    if [s["row"] for s in filt.sample_paths] != list(train_ds.rows):
+        with pytest.raises(ValueError, match="identical sample rows"):
+            DeviceDataset(filt, share_storage_from=train_ds)
+
+
+def test_chunked_thread_abandoned_consumer(pack_dir):
+    """Leaving batches() early (break mid-epoch) must terminate and
+    join the producer thread so a subsequent epoch on the same instance
+    owns the staging slots exclusively (no stuck-producer writes
+    corrupting the new epoch's uploads)."""
+    import threading
+
+    from cadepth_tpu.data import ChunkedDeviceDataset
+
+    loader, ds = make_ds(pack_dir)
+    ch = ChunkedDeviceDataset(loader, chunk_samples=5)
+    want = [{k: np.asarray(v) for k, v in b.items()}
+            for b in ds.batches(4, shuffle=True, seed=13, epoch=0,
+                                augment=False)]
+    n_before = threading.active_count()
+    for trial in range(4):
+        it = ch.batches(4, shuffle=True, seed=13, epoch=0, augment=False,
+                        prefetch="thread")
+        next(it)            # consume one batch, abandon the rest
+        it.close()          # generator finally must stop + join producer
+        got = list(ch.batches(4, shuffle=True, seed=13, epoch=0,
+                              augment=False, prefetch="thread"))
+        assert len(got) == len(want)
+        for i, g in enumerate(got):
+            for k in g:
+                np.testing.assert_array_equal(
+                    want[i][k], np.asarray(g[k]),
+                    err_msg=f"trial {trial} batch {i} key {k}")
+    # no leaked producer threads across the abandon/restart cycles
+    assert threading.active_count() <= n_before + 1
+
+
+def test_chunked_eval_batch_bigger_than_chunk(pack_dir, tmp_path):
+    """Evaluator's device-resident chunked warm-up with eval batch_size
+    > chunk_samples (regression: the direct _upload bypassed batches()'
+    slot growth and crashed on the too-small staging slot)."""
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.evaluation import EvaluationConfig, ModelEvaluator
+    from cadepth_tpu.training import build_optimizer, create_train_state
+    from cadepth_tpu.training.train_state import build_model_and_loss
+
+    cfg = config_from_dict({
+        "data": {"input_height": 48, "input_width": 64,
+                 "compute_rays": True,
+                 "device_resident_chunk_samples": 3},   # < batch_size
+        "model": {"architecture": "baseline_unet", "init_features": 4},
+    })
+    loader = PackedSunRGBDLoader(pack_dir, split="test", compute_rays=True,
+                                 rays_on_device=True)
+    model, _ = build_model_and_loss(cfg)
+    tx = build_optimizer(cfg.optimization, lambda s: 1e-4)
+    batch = jax.device_put(loader.get_batch([0, 1]))
+    state = create_train_state(cfg, model, tx, jax.random.PRNGKey(0), batch)
+    ev = ModelEvaluator(cfg, model, state,
+                        EvaluationConfig(warmup_iterations=1, batch_size=5))
+    host = ev.evaluate(loader)
+    dev = ev.evaluate(loader, device_resident=True)
+    assert dev.num_samples == host.num_samples == len(loader)
+    for a, b in zip(host.per_sample, dev.per_sample):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6, atol=1e-7)
+
+
+def test_chunked_thread_overlap_hides_upload(pack_dir, monkeypatch):
+    """Thread-mode chunk prefetch OVERLAPS uploads with compute; serial
+    mode alternates them (VERDICT r3 item 4: demonstrate the overlap,
+    don't extrapolate it). The wire and the device step are simulated
+    with GIL-releasing sleeps of known duration — exactly what a real
+    DMA/device gives the host thread — so the assertion exercises the
+    real scheduling machinery (double-buffered slots, token semaphore,
+    producer thread) with controlled constants:
+
+      serial epoch ~= n_chunks * (U + C_chunk)   [alternating]
+      thread epoch ~= U + n_chunks * max(U, C_chunk) + tail [overlapped]
+
+    and the measured serial fed fraction must match the
+    ``serial_fed_fraction`` formula PERF_NOTES uses for the tunnel.
+    """
+    import time
+
+    from cadepth_tpu.data import ChunkedDeviceDataset
+    from cadepth_tpu.data.device_resident import serial_fed_fraction
+
+    loader = PackedSunRGBDLoader(pack_dir, split="train", compute_rays=True,
+                                 rays_on_device=True)
+    ch = ChunkedDeviceDataset(loader, chunk_samples=4)
+    n_chunks = len(ch) // 4          # 12 samples -> 3 chunks
+    assert n_chunks == 3
+
+    U = 0.12                         # simulated wire time per chunk
+    C = 0.06                         # simulated device step per batch
+    batches_per_chunk = 2            # batch_size=2 over chunk of 4
+
+    uploads: list = []
+    computes: list = []
+    orig_upload = ChunkedDeviceDataset._upload
+
+    def slow_upload(self, order_slice, slot=0, block=False):
+        t0 = time.perf_counter()
+        out = orig_upload(self, order_slice, slot=slot, block=block)
+        time.sleep(U)                # the simulated wire (releases GIL)
+        uploads.append((t0, time.perf_counter()))
+        return out
+
+    monkeypatch.setattr(ChunkedDeviceDataset, "_upload", slow_upload)
+
+    def run_epoch(prefetch):
+        uploads.clear()
+        computes.clear()
+        t0 = time.perf_counter()
+        n = 0
+        for _ in ch.batches(2, shuffle=False, seed=0, epoch=0,
+                            augment=False, prefetch=prefetch):
+            c0 = time.perf_counter()
+            time.sleep(C)            # the simulated device step
+            computes.append((c0, time.perf_counter()))
+            n += 1
+        return time.perf_counter() - t0, n
+
+    # warm-up: compile the jitted gather + fence programs outside the
+    # timed windows
+    run_epoch("serial")
+
+    serial_wall, n_serial = run_epoch("serial")
+    thread_wall, n_thread = run_epoch("thread")
+    thread_uploads = list(uploads)
+    thread_computes = list(computes)
+    assert n_serial == n_thread == n_chunks * batches_per_chunk
+
+    # 1. direct overlap evidence: upload wall time hidden behind compute
+    hidden = sum(max(0.0, min(ue, ce) - max(us, cs))
+                 for us, ue in thread_uploads
+                 for cs, ce in thread_computes)
+    assert hidden > U, (
+        f"thread mode hid only {hidden * 1e3:.0f} ms of upload behind "
+        f"compute (expected > {U * 1e3:.0f} ms of the "
+        f"{n_chunks * U * 1e3:.0f} ms total)")
+
+    # 2. wall-clock shape: overlapped epoch is strictly cheaper than the
+    # alternating one (ideal: 0.48 s vs 0.72 s here; generous margins
+    # absorb the real staging/gather overhead on a loaded CI host)
+    assert thread_wall < serial_wall - 0.5 * U, (
+        f"thread {thread_wall:.3f}s vs serial {serial_wall:.3f}s")
+
+    # 3. the serial fed-fraction formula, asserted with the simulated
+    # constants: compute/(compute + bytes/wire) per sample
+    compute_per_sample = C / 2.0
+    upload_per_sample = U / 4.0
+    predicted = serial_fed_fraction(compute_per_sample, upload_per_sample,
+                                    1.0)  # upload already in seconds
+    measured = (n_serial * C) / serial_wall
+    assert abs(measured - predicted) < 0.17, (
+        f"serial fed fraction: measured {measured:.2f} vs formula "
+        f"{predicted:.2f}")
