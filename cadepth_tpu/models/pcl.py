@@ -23,6 +23,12 @@ from cadepth_tpu.ops.affine_warp import (
 from cadepth_tpu.ops.grid_sample import affine_grid, grid_sample
 
 
+# Rotation magnitude (rad) under which the two-pass GEMM warp's kernel
+# displacement (<= |tan rot| px) stays sub-pixel; "auto" mode's runtime
+# guard and the trainer's pcl_max_rot monitoring both key on it.
+DEFAULT_ROT_BOUND = 0.05
+
+
 def _build_affine_matrix(params: jax.Array) -> jax.Array:
     """(B, 6) -> (B, 2, 3) affine θ.
 
@@ -76,7 +82,7 @@ class PerspectiveCorrectionLayer(nn.Module):
     # compiler actually compiling (interpret-parity tested; see
     # PERF_NOTES "layout-copy tax").
     warp_mode: str = "two_pass"
-    rot_bound: float = 0.05
+    rot_bound: float = DEFAULT_ROT_BOUND
     dtype: Any = jnp.bfloat16
 
     def _transform(self, features, camera_intrinsics, train: bool):
@@ -135,9 +141,23 @@ class PerspectiveCorrectionLayer(nn.Module):
                                                   "zeros", False, interp)
         if self.warp_mode != "auto":
             raise ValueError(f"Unknown warp_mode: {self.warp_mode}")
+        # Lazy gather fallback: the two-pass warp runs UNCONDITIONALLY in
+        # the main trace (so XLA keeps it fused with the surrounding
+        # convs), and the cond merely selects between that result and the
+        # exact-gather recompute. Bit-identical outputs to the dual-branch
+        # cond (same predicate picking between the same two functions),
+        # but in-bound steps — the overwhelmingly common case for an
+        # identity-initialized rotation head — pay ~a select instead of
+        # the ~15%-of-step fusion tax the dual-branch cond cost
+        # (PERF_NOTES "warp-mode ladder"); out-of-bound steps waste one
+        # two_pass (rare by construction).
+        two_pass_out = warp_two_pass(features, theta)
         in_bound = jnp.max(jnp.abs(params[:, 4])) < self.rot_bound
-        return jax.lax.cond(in_bound, warp_two_pass, warp_gather,
-                            features, theta)
+        return jax.lax.cond(
+            in_bound,
+            lambda feats, th, out: out,
+            lambda feats, th, out: warp_gather(feats, th),
+            features, theta, two_pass_out)
 
     @nn.compact
     def __call__(self, features, camera_intrinsics,

@@ -50,6 +50,17 @@ from jax.experimental.pallas import tpu as pltpu
 from cadepth_tpu.ops.affine_warp import affine_pixel_coeffs
 
 
+def _fiota(shape, dim: int) -> jax.Array:
+    """Float row/col index vector via INTEGER iota + cast.
+
+    Mosaic's `tpu.iota` verifier requires an integer result type (a
+    float `broadcasted_iota` fails with "result #0 must be vector of
+    integer or index values" — round-4 on-chip probe), so generate
+    int32 and convert; XLA/Mosaic fold the cast into the consumer."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(
+        jnp.float32)
+
+
 def _tile(n: int, pref: int = 0) -> int:
     """Largest divisor of ``n`` <= the preferred static unroll factor.
 
@@ -68,8 +79,17 @@ def _tile(n: int, pref: int = 0) -> int:
 
 def _pass_v_kernel(coef_ref, img_ref, out_ref, *, height: int, width: int,
                    xt: int, border: bool, mat_bf16: bool):
-    """V[i, x, c] = sum_y tent(g(x, i) - y) * img[y, x, c] for one
-    (batch, x-tile) grid cell. One (Ho, H) @ (H, C) dot per column."""
+    """V[x, i, c] = sum_y tent(g(x, i) - y) * imgT[x, y, c] for one
+    (batch, x-tile) grid cell. One (Ho, H) @ (H, C) dot per column.
+
+    Operates on the WIDTH-MAJOR transpose (B, W, H, C) of both input
+    and output so the per-column scalar index lands in a LEADING block
+    dim: Mosaic's vector layout inference rejects shape casts that
+    touch the last two (tiled) dims — `(240,64) -> (1,240,1,64)` was
+    the round-4 on-chip failure — while leading-singleton squeezes are
+    native. The (B,W,H,C)<->(B,H,W,C) transposes happen in XLA outside
+    the kernel (~2 copies of the feature map, vs the ~6 GB/step of tent
+    matrices the pure-XLA warp materializes at b16 geometry)."""
     b = pl.program_id(0)
     xtile = pl.program_id(1)
 
@@ -83,8 +103,8 @@ def _pass_v_kernel(coef_ref, img_ref, out_ref, *, height: int, width: int,
                        jnp.where(a < 0, -1e-3, 1e-3), a)
     doa = d / a_safe
 
-    iis = jax.lax.broadcasted_iota(jnp.float32, (height, 1), 0)   # i (rows)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (1, height), 1)    # y (cols)
+    iis = _fiota((height, 1), 0)   # i (rows)
+    ys = _fiota((1, height), 1)    # y (cols)
 
     for dx in range(xt):
         x = (xtile * xt + dx).astype(jnp.float32)
@@ -95,11 +115,11 @@ def _pass_v_kernel(coef_ref, img_ref, out_ref, *, height: int, width: int,
         mv = jnp.maximum(1.0 - jnp.abs(g - ys), 0.0)         # (Ho, H)
         if mat_bf16:
             mv = mv.astype(jnp.bfloat16)
-        col = img_ref[0, :, dx, :]                           # (H, C)
+        col = img_ref[0, dx, :, :]                           # (H, C)
         v = jax.lax.dot_general(
             mv, col, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (Ho, C)
-        out_ref[0, :, dx, :] = v.astype(out_ref.dtype)
+        out_ref[0, dx, :, :] = v.astype(out_ref.dtype)
 
 
 def _pass_h_kernel(coef_ref, v_ref, out_ref, *, height: int, width: int,
@@ -113,8 +133,8 @@ def _pass_h_kernel(coef_ref, v_ref, out_ref, *, height: int, width: int,
     bb = coef_ref[b, 1]
     c = coef_ref[b, 2]
 
-    js = jax.lax.broadcasted_iota(jnp.float32, (width, 1), 0)    # j (rows)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (1, width), 1)    # x (cols)
+    js = _fiota((width, 1), 0)    # j (rows)
+    xs = _fiota((1, width), 1)    # x (cols)
 
     for di in range(it):
         i = (itile * it + di).astype(jnp.float32)
@@ -133,10 +153,11 @@ def _pass_h_kernel(coef_ref, v_ref, out_ref, *, height: int, width: int,
 
 
 def _scalar_lanes(*vals: jax.Array) -> jax.Array:
-    """Pack scalars into lanes 0..k-1 of a (128,) f32 vector (TPU
-    outputs want lane-shaped data; the host unpacks)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, (128,), 0)
-    out = jnp.zeros((128,), jnp.float32)
+    """Pack scalars into lanes 0..k-1 of an (8, 128) f32 tile (the
+    smallest block whose last two dims satisfy Mosaic's (8, 128)
+    divisibility rule for outputs; the host reads row 0)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out = jnp.zeros((8, 128), jnp.float32)
     for k, v in enumerate(vals):
         out = jnp.where(lane == k, v.astype(jnp.float32), out)
     return out
@@ -160,8 +181,8 @@ def _bwd_h_kernel(coef_ref, g_ref, v_ref, dv_ref, habc_ref, *,
     bb = coef_ref[b, 1]
     c = coef_ref[b, 2]
 
-    js = jax.lax.broadcasted_iota(jnp.float32, (width, 1), 0)    # j (rows)
-    xs = jax.lax.broadcasted_iota(jnp.float32, (1, width), 1)    # x (cols)
+    js = _fiota((width, 1), 0)    # j (rows)
+    xs = _fiota((1, width), 1)    # x (cols)
 
     s_a = jnp.float32(0.0)
     s_b = jnp.float32(0.0)
@@ -193,19 +214,20 @@ def _bwd_h_kernel(coef_ref, g_ref, v_ref, dv_ref, habc_ref, *,
 
     @pl.when(itile == 0)
     def _init():
-        habc_ref[0, :] = vec
+        habc_ref[0] = vec
 
     @pl.when(itile != 0)
     def _acc():
-        habc_ref[0, :] = habc_ref[0, :] + vec
+        habc_ref[0] = habc_ref[0] + vec
 
 
 def _bwd_v_kernel(coef_ref, dv_ref, img_ref, dimg_ref, pqr_ref, *,
                   height: int, width: int, xt: int, border: bool):
     """Transposed V pass + g-coefficient partials for one
-    (batch, x-tile) cell.
+    (batch, x-tile) cell. Width-major (B, W, ·, C) operands/output for
+    the same Mosaic leading-dim rule as `_pass_v_kernel`.
 
-    d_img[y, x, c] = sum_i mv[i, y] * d_v[i, x, c]
+    d_img[x, y, c] = sum_i mv[i, y] * d_v[x, i, c]
     pqr           += sum_{i,y} (d_v·imgᵀ)[i, y] * dtent[i, y] * (x, i, 1)
     """
     b = pl.program_id(0)
@@ -220,8 +242,8 @@ def _bwd_v_kernel(coef_ref, dv_ref, img_ref, dimg_ref, pqr_ref, *,
                        jnp.where(a < 0, -1e-3, 1e-3), a)
     doa = d / a_safe
 
-    iis = jax.lax.broadcasted_iota(jnp.float32, (height, 1), 0)  # i (rows)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (1, height), 1)   # y (cols)
+    iis = _fiota((height, 1), 0)  # i (rows)
+    ys = _fiota((1, height), 1)   # y (cols)
 
     s_p = jnp.float32(0.0)
     s_q = jnp.float32(0.0)
@@ -232,12 +254,12 @@ def _bwd_v_kernel(coef_ref, dv_ref, img_ref, dimg_ref, pqr_ref, *,
         gp = jnp.clip(g, 0.0, height - 1.0) if border else g
         diff = gp - ys                                       # (Ho, H)
         mv = jnp.maximum(1.0 - jnp.abs(diff), 0.0)
-        dv_x = dv_ref[0, :, dx, :].astype(jnp.float32)       # (Ho, C)
-        img_x = img_ref[0, :, dx, :].astype(jnp.float32)     # (H, C)
+        dv_x = dv_ref[0, dx, :, :].astype(jnp.float32)       # (Ho, C)
+        img_x = img_ref[0, dx, :, :].astype(jnp.float32)     # (H, C)
         d_img = jax.lax.dot_general(
             mv, dv_x, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (H, C)
-        dimg_ref[0, :, dx, :] = d_img.astype(dimg_ref.dtype)
+        dimg_ref[0, dx, :, :] = d_img.astype(dimg_ref.dtype)
         d_mv = jax.lax.dot_general(
             dv_x, img_x, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # (Ho, H)
@@ -253,11 +275,11 @@ def _bwd_v_kernel(coef_ref, dv_ref, img_ref, dimg_ref, pqr_ref, *,
 
     @pl.when(xtile == 0)
     def _init():
-        pqr_ref[0, :] = vec
+        pqr_ref[0] = vec
 
     @pl.when(xtile != 0)
     def _acc():
-        pqr_ref[0, :] = pqr_ref[0, :] + vec
+        pqr_ref[0] = pqr_ref[0] + vec
 
 
 def pallas_two_pass_warp(img: jax.Array, theta: jax.Array,
@@ -296,18 +318,20 @@ def _pallas_warp_fwd_passes(img, theta, padding_mode, align_corners,
                       axis=-1)                               # (B, 6)
 
     xt = _tile(w)
-    v = pl.pallas_call(
+    img_t = jnp.transpose(img, (0, 2, 1, 3))                 # (B, W, H, C)
+    v_t = pl.pallas_call(
         functools.partial(_pass_v_kernel, height=h, width=w, xt=xt,
                           border=border, mat_bf16=mat_bf16),
         grid=(bsz, w // xt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # coefs
-            pl.BlockSpec((1, h, xt, ch), lambda b, x: (b, 0, x, 0)),
+            pl.BlockSpec((1, xt, h, ch), lambda b, x: (b, x, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, h, xt, ch), lambda b, x: (b, 0, x, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, w, ch), img.dtype),
+        out_specs=pl.BlockSpec((1, xt, h, ch), lambda b, x: (b, x, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, w, h, ch), img.dtype),
         interpret=interpret,
-    )(coefs, img)
+    )(coefs, img_t)
+    v = jnp.transpose(v_t, (0, 2, 1, 3))                     # (B, Ho, W, C)
 
     it = _tile(h)
     out = pl.pallas_call(
@@ -366,35 +390,38 @@ def _trainable_bwd(padding_mode, align_corners, interpret, residuals, g):
         ],
         out_specs=[
             pl.BlockSpec((1, it, w, ch), lambda b, i: (b, i, 0, 0)),
-            pl.BlockSpec((1, 128), lambda b, i: (b, 0)),     # accumulated
+            pl.BlockSpec((1, 8, 128), lambda b, i: (b, 0, 0)),  # accumulated
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, h, w, ch), img.dtype),
-            jax.ShapeDtypeStruct((bsz, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, 8, 128), jnp.float32),
         ],
         interpret=interpret,
     )(coefs, g, v)
 
     xt = _tile(w)
-    d_img, pqr = pl.pallas_call(
+    dv_t = jnp.transpose(d_v, (0, 2, 1, 3))                  # (B, W, Ho, C)
+    img_t = jnp.transpose(img, (0, 2, 1, 3))                 # (B, W, H, C)
+    d_img_t, pqr = pl.pallas_call(
         functools.partial(_bwd_v_kernel, height=h, width=w, xt=xt,
                           border=border),
         grid=(bsz, w // xt),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),           # coefs
-            pl.BlockSpec((1, h, xt, ch), lambda b, x: (b, 0, x, 0)),  # d_v
-            pl.BlockSpec((1, h, xt, ch), lambda b, x: (b, 0, x, 0)),  # img
+            pl.BlockSpec((1, xt, h, ch), lambda b, x: (b, x, 0, 0)),  # d_v
+            pl.BlockSpec((1, xt, h, ch), lambda b, x: (b, x, 0, 0)),  # img
         ],
         out_specs=[
-            pl.BlockSpec((1, h, xt, ch), lambda b, x: (b, 0, x, 0)),
-            pl.BlockSpec((1, 128), lambda b, x: (b, 0)),     # accumulated
+            pl.BlockSpec((1, xt, h, ch), lambda b, x: (b, x, 0, 0)),
+            pl.BlockSpec((1, 8, 128), lambda b, x: (b, 0, 0)),  # accumulated
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, h, w, ch), img.dtype),
-            jax.ShapeDtypeStruct((bsz, 128), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, w, h, ch), img.dtype),
+            jax.ShapeDtypeStruct((bsz, 8, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(coefs, d_v, img)
+    )(coefs, dv_t, img_t)
+    d_img = jnp.transpose(d_img_t, (0, 2, 1, 3))             # (B, H, W, C)
 
     # chain the six per-batch coefficient partials back to theta: the
     # coefficient maps are tiny elementwise functions of theta
@@ -411,8 +438,9 @@ def _trainable_bwd(padding_mode, align_corners, interpret, residuals, g):
 
     _, vjp_h = jax.vjp(_h_abc, theta)
     _, vjp_g = jax.vjp(_g_pqr, theta)
-    d_theta = (vjp_h((habc[:, 0], habc[:, 1], habc[:, 2]))[0]
-               + vjp_g((pqr[:, 0], pqr[:, 1], pqr[:, 2]))[0])
+    # accumulators are (B, 8, 128) tiles with the scalars in row 0
+    d_theta = (vjp_h((habc[:, 0, 0], habc[:, 0, 1], habc[:, 0, 2]))[0]
+               + vjp_g((pqr[:, 0, 0], pqr[:, 0, 1], pqr[:, 0, 2]))[0])
     return d_img, d_theta.astype(theta.dtype)
 
 
