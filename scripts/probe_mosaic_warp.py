@@ -48,14 +48,26 @@ def main() -> int:
         np.array([[0.98, -0.01, 0.03], [0.01, 1.02, -0.02]],
                  np.float32)[None], (b, 1, 1)))
 
-    def timed(fn, *args, iters=20):
+    # 4-byte device->host fence: a tiny jitted program consuming the
+    # timed output, whose scalar we read back. On this runtime a full
+    # np.asarray readback runs at ~8.6 MB/s and block_until_ready can
+    # return early — both would swamp the timing (the round-4 first
+    # probe's 27.7 s/iter "forward" was mostly a 157 MB D2H readback).
+    fence_prog = jax.jit(
+        lambda t: jax.tree_util.tree_leaves(t)[0].ravel()[0]
+        .astype(jnp.float32))
+
+    def fence(out):
+        return float(np.asarray(fence_prog(out)))
+
+    def timed(fn, *args,
+              iters=int(os.environ.get("CADEPTH_PROBE_ITERS", "20"))):
         out = fn(*args)
-        jax.block_until_ready(out)
+        fence(out)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        fence(out)
         return (time.perf_counter() - t0) / iters * 1e3
 
     # 1. forward
@@ -89,14 +101,22 @@ def main() -> int:
         ms_ref = timed(gfn_ref, img, theta)
         gp = gfn(img, theta)
         gr = gfn_ref(img, theta)
+        dth_p = np.asarray(gp[1], np.float32)
+        dth_r = np.asarray(gr[1], np.float32)
+        dth_scale = float(np.max(np.abs(dth_r)))
         result["grad"] = {
             "ok": True, "ms": round(ms, 2),
             "xla_two_pass_ms": round(ms_ref, 2),
             "d_img_max_err": float(np.max(np.abs(
                 np.asarray(gp[0], np.float32)
                 - np.asarray(gr[0], np.float32)))),
-            "d_theta_max_err": float(np.max(np.abs(
-                np.asarray(gp[1]) - np.asarray(gr[1]))))}
+            "d_theta_max_abs": dth_scale,
+            "d_theta_max_err": float(np.max(np.abs(dth_p - dth_r))),
+            # relative to the gradient's own scale — a sum-loss over
+            # ~8e7 elements makes d_theta ~1e6, so absolute error alone
+            # misleads (round-4 first probe read 3254 abs = ? rel)
+            "d_theta_max_rel_err": float(
+                np.max(np.abs(dth_p - dth_r)) / max(dth_scale, 1e-30))}
     except Exception:  # noqa: BLE001
         result["grad"] = {"ok": False,
                           "error": traceback.format_exc()[-1500:]}
