@@ -164,8 +164,31 @@ def _scalar_lanes(*vals: jax.Array) -> jax.Array:
 
 
 def _dtent(diff: jax.Array) -> jax.Array:
-    """d/dpos of tent(pos - grid) given diff = pos - grid (a.e.)."""
-    return jnp.where(jnp.abs(diff) < 1.0, -jnp.sign(diff), 0.0)
+    """d/dpos of tent(pos - grid) = max(1 - |pos - grid|, 0).
+
+    Matches jax autodiff's kink conventions EXACTLY — they are the
+    operating point, not an edge case: the PCL's affine head is
+    identity-initialized, so early-training positions land precisely on
+    grid integers, where every tap sits at a tent kink. jax uses
+    abs'(0) = +1 (so dtent(0) = -1, not 0) and max-tie weight 0.5 at
+    |diff| == 1 (so dtent(+-1) = -+0.5). The round-4 parity hunt found
+    the naive `-sign(diff) * [|diff| < 1]` convention diverging from
+    the XLA custom VJP by up to 100% at identity/axis-aligned thetas
+    (exact-kink positions) while matching off-kink to 1e-6."""
+    sgn = jnp.where(diff >= 0.0, 1.0, -1.0)        # abs'(0) = +1
+    ad = jnp.abs(diff)
+    mag = jnp.where(ad < 1.0, 1.0,
+                    jnp.where(ad == 1.0, 0.5, 0.0))  # max-tie at kink
+    return -sgn * mag
+
+
+def _dclip(pos: jax.Array, size: int) -> jax.Array:
+    """d/dpos of clip(pos, 0, size-1), matching jnp.clip's autodiff:
+    1 strictly inside, 0 strictly outside, 0.5 at the exact bounds
+    (min/max tie convention — same kink reasoning as `_dtent`)."""
+    hi = size - 1.0
+    return jnp.where((pos > 0.0) & (pos < hi), 1.0,
+                     jnp.where((pos == 0.0) | (pos == hi), 0.5, 0.0))
 
 
 def _bwd_h_kernel(coef_ref, g_ref, v_ref, dv_ref, habc_ref, *,
@@ -204,8 +227,7 @@ def _bwd_h_kernel(coef_ref, g_ref, v_ref, dv_ref, habc_ref, *,
             preferred_element_type=jnp.float32)              # (Wo, W)
         contrib = d_mh * _dtent(diff)
         if border:
-            contrib = contrib * ((h >= 0.0)
-                                 & (h <= width - 1.0)).astype(jnp.float32)
+            contrib = contrib * _dclip(h, width)
         s_a = s_a + jnp.sum(contrib * js)
         s_b = s_b + i * jnp.sum(contrib)
         s_c = s_c + jnp.sum(contrib)
@@ -265,8 +287,7 @@ def _bwd_v_kernel(coef_ref, dv_ref, img_ref, dimg_ref, pqr_ref, *,
             preferred_element_type=jnp.float32)              # (Ho, H)
         contrib = d_mv * _dtent(diff)
         if border:
-            contrib = contrib * ((g >= 0.0)
-                                 & (g <= height - 1.0)).astype(jnp.float32)
+            contrib = contrib * _dclip(g, height)
         s_p = s_p + x * jnp.sum(contrib)
         s_q = s_q + jnp.sum(contrib * iis)
         s_r = s_r + jnp.sum(contrib)

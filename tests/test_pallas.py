@@ -212,3 +212,53 @@ def test_two_pass_warp_kernel_grads_match_xla(rng):
             np.testing.assert_allclose(
                 np.asarray(gp_t) / scale, np.asarray(gr_t) / scale,
                 atol=2e-5, err_msg=f"d_theta {name}/{pad}")
+
+
+def test_two_pass_warp_kernel_grads_at_kinks(rng):
+    """d_theta at EXACT identity / axis-aligned thetas — the kink
+    regime, which is the PCL's identity-initialized operating point:
+    every sampling position lands precisely on grid integers, where the
+    tent subgradient convention decides the gradient. Regression for
+    the round-4 bug where `_dtent` used `-sign * [|diff| < 1]` instead
+    of jax's abs'(0)=+1 / max-tie-0.5 conventions and diverged from the
+    XLA custom VJP by up to 100% at these thetas (while matching
+    off-kink thetas to 1e-6 — the older test jitters theta and so never
+    saw it). Oracle: plain autodiff through the same forward with the
+    custom VJP bypassed (`_warp_fwd`), verified identical to the XLA
+    custom VJP."""
+    from cadepth_tpu.ops import affine_warp as aw
+    from cadepth_tpu.ops.pallas.two_pass_warp import (
+        pallas_two_pass_warp_trainable,
+    )
+
+    b, h, w, c = 1, 16, 24, 8
+    img = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    for name, th0 in {
+        "identity": np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+        "scale_x": np.array([[0.98, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+        "scale_y": np.array([[1.0, 0.0, 0.0], [0.0, 1.02, 0.0]]),
+        "shear_d": np.array([[1.0, 0.0, 0.0], [0.01, 1.0, 0.0]]),
+    }.items():
+        theta = jnp.asarray(np.tile(th0[None], (b, 1, 1)).astype(np.float32))
+        for pad in ("zeros", "border"):
+            def loss_truth(im, t):
+                return jnp.sum(aw._warp_fwd(im, t, pad, False, None)[0])
+
+            def loss_pal(im, t):
+                return jnp.sum(
+                    pallas_two_pass_warp_trainable(im, t, pad, False, True))
+
+            gt_t = jax.grad(loss_truth, argnums=1)(img, theta)
+            gx_t = jax.grad(
+                lambda im, t: jnp.sum(
+                    aw.two_pass_affine_warp(im, t, pad, False, None)),
+                argnums=1)(img, theta)
+            gp_t = jax.grad(loss_pal, argnums=1)(img, theta)
+            scale = float(jnp.max(jnp.abs(gt_t))) + 1e-6
+            # the XLA custom VJP IS the autodiff gradient
+            np.testing.assert_allclose(
+                np.asarray(gx_t) / scale, np.asarray(gt_t) / scale,
+                atol=1e-5, err_msg=f"xla-vs-truth {name}/{pad}")
+            np.testing.assert_allclose(
+                np.asarray(gp_t) / scale, np.asarray(gt_t) / scale,
+                atol=2e-5, err_msg=f"pallas-vs-truth {name}/{pad}")
