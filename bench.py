@@ -514,6 +514,13 @@ def main() -> None:
     phase("geometry_aware_b16_two_pass_img_per_sec", 25.0,
           bench_device_step, "geometry_aware", batch=16, steps=30,
           init_features=64, pcl_warp="two_pass")
+    # the Mosaic kernel path: parity-verified on chip (round 4) but
+    # measured slower in-model than the XLA two-pass (123 vs 136 —
+    # PERF_NOTES round-4 Mosaic section); tracked here so regressions
+    # or compiler improvements show up longitudinally
+    phase("geometry_aware_b16_pallas_img_per_sec", 25.0,
+          bench_device_step, "geometry_aware", batch=16, steps=30,
+          init_features=64, pcl_warp="pallas")
     if phase("baseline_unet_pipeline_fed_img_per_sec", 10.0,
              bench_pipeline_fed, batch=16, steps=20) is not None:
         detail["pipeline_note"] = (
