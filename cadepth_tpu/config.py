@@ -343,7 +343,7 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
                else bool(m.get("remat", False))),
         pcl_warp=_enum(m.get("pcl_warp", "two_pass"),
                        ("two_pass", "auto", "gather", "separable",
-                        "pallas"), "model.pcl_warp"),
+                        "pallas", "fused"), "model.pcl_warp"),
         norm=_enum(m.get("norm", "batch"), ("batch", "group"),
                    "model.norm"),
         decoder_upsample=_enum(m.get("decoder_upsample", "transpose"),

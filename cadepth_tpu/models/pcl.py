@@ -80,7 +80,11 @@ class PerspectiveCorrectionLayer(nn.Module):
     # semantics and gradients as "two_pass" with zero HBM tent traffic
     # and zero layout-relayout copies — gated on the remote Mosaic
     # compiler actually compiling (interpret-parity tested; see
-    # PERF_NOTES "layout-copy tax").
+    # PERF_NOTES "layout-copy tax"). "fused" = NHWC-native BANDED Pallas
+    # kernels (ops/pallas/fused_warp.py): zero transposes, banded VPU V
+    # pass — exact vs two_pass inside `fused_warp_theta_ok` (generous
+    # around the identity-initialized regime; monitored the same way
+    # via pcl_max_rot), zeros padding only.
     warp_mode: str = "two_pass"
     rot_bound: float = DEFAULT_ROT_BOUND
     dtype: Any = jnp.bfloat16
@@ -139,6 +143,14 @@ class PerspectiveCorrectionLayer(nn.Module):
             interp = jax.default_backend() == "cpu"
             return pallas_two_pass_warp_trainable(features, theta,
                                                   "zeros", False, interp)
+        if self.warp_mode == "fused":
+            from cadepth_tpu.ops.pallas.fused_warp import (
+                pallas_fused_warp_trainable,
+            )
+
+            interp = jax.default_backend() == "cpu"
+            return pallas_fused_warp_trainable(features, theta,
+                                               "zeros", False, interp)
         if self.warp_mode != "auto":
             raise ValueError(f"Unknown warp_mode: {self.warp_mode}")
         # Lazy gather fallback: the two-pass warp runs UNCONDITIONALLY in

@@ -540,7 +540,7 @@ class Trainer:
                     # validated regime loudly, not just as a TB scalar.
                     from cadepth_tpu.models.pcl import DEFAULT_ROT_BOUND
                     if cfg.model.pcl_warp in ("two_pass", "separable",
-                                              "pallas") \
+                                              "pallas", "fused") \
                             and rot > 0.8 * DEFAULT_ROT_BOUND:
                         self.log(
                             f"WARNING: pcl_max_rot={rot:.4f} approaches "

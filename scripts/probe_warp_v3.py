@@ -2,24 +2,28 @@
 """Mosaic building-block probes for a fused NHWC-native warp kernel (v3).
 
 probe_warp_v2.py showed the shipped Pallas warp is block-TRAFFIC bound
-(dot and tent each free beneath it), with the lane dim's 64->128 pad
-wasting half the DMA. A fused single-kernel warp that reads NHWC
-(B,H,W,Cc) blocks and writes NHWC output in ONE HBM round trip would
-cut traffic ~4x and kill the in-model layout churn — IF Mosaic accepts
-the needed constructs. Each probe is minimal and independent:
+(dot and tent each free beneath it). A fused warp that reads NHWC
+(1,H,wt,C) strips and writes NHWC output with no transposes would kill
+both the kernel's standalone deficit and the in-model layout churn —
+IF Mosaic accepts the needed constructs. Block shapes here follow the
+(8,128)-divisible-or-equal-to-array rule (the first probe run failed it
+with cc=32 channel chunks; C=64 blocks must span the full array dim).
 
-  p0_transpose_cost — XLA (B,H,W,C)->(B,H,C,W) permute, ms (for scale)
-  p1_dynamic_row    — dynamic leading-dim read img[y0+k] with a traced
-                      scalar y0 from SMEM coefficients
-  p2_banded_blend   — the 2-sparse/banded V pass: per output row,
-                      K dynamic slab reads x tent-weight FMA (VPU only,
-                      no MXU), input block revisited across i-tiles
+  p0_transpose_cost — XLA layout permutes, ms (for scale)
+  p1_dynamic_row    — dynamic second-dim read img[0, y0+k] with a traced
+                      scalar y0 derived from SMEM coefficients
+  p2_banded_blend   — the banded V pass: per output row, scalar band
+                      base y0, K dynamic slab reads x tent-weight FMA
+                      (VPU only, no MXU); input strip revisited across
+                      i-tiles (inner grid dim -> DMA skip expected)
   p2b               — same with the i-tile grid dim OUTER (measures the
                       revisit DMA-skip: if skipping works, p2 << p2b)
-  p3_kernel_transpose — in-kernel jnp.transpose of a (W, Cc) tile
-  p4_fori           — simple fori_loop over rows (no DMA) with a dot
-  p5_hpass_tn       — per-row dots (Cc,W)@(W,Wo) on (1,ht,Cc,W) blocks
-                      (the full-lane H pass orientation)
+  p4_fori_dot       — fori_loop over rows with a per-row dot
+  p6_hpass_nhwc     — H pass on NHWC rows: per-row tent (Wo,W) built
+                      in-kernel, standard (Wo,W)@(W,C) dot, grid
+                      (b, H/it); V-block (1,it,W,C)
+  p6b_hpass_c0      — same contraction expressed as ((0,),(0,)) against
+                      an untransposed (W,Wo) tent (does Mosaic take it?)
 
 Writes JSON to argv[1] (default /tmp/warp_v3_probe.json); never raises.
 """
@@ -52,12 +56,15 @@ def main() -> int:
               "device": str(jax.devices()[0])}
 
     b, h, w, c = 16, 240, 320, 64
-    cc = 32                                   # channel chunk
+    wt = 64                                   # W strip for the V pass
+    it = 8                                    # output row tile
+    K = 8                                     # V band taps
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.normal(size=(b, h, w, c)), dtype=jnp.bfloat16)
     # coefs: q (y-scale), r (y-offset), p (x-shear of vertical pos)
+    q_c, r_c, p_c = 1.02, -2.0, 0.01
     coefs = jnp.asarray(np.tile(np.array(
-        [[1.02, -2.0, 0.01]], np.float32), (b, 1)))
+        [[q_c, r_c, p_c]], np.float32), (b, 1)))
 
     fence_prog = jax.jit(
         lambda t: jax.tree_util.tree_leaves(t)[0].ravel()[0]
@@ -87,7 +94,7 @@ def main() -> int:
             return out
         except Exception:  # noqa: BLE001
             result[name] = {"ok": False,
-                            "error": traceback.format_exc()[-1200:]}
+                            "error": traceback.format_exc()[-1600:]}
             print(name, "FAILED:",
                   result[name]["error"].splitlines()[-1], flush=True)
             return None
@@ -95,10 +102,8 @@ def main() -> int:
     # ---- p0: XLA permute cost ---------------------------------------
     attempt("p0_transpose_cost",
             lambda: jax.jit(lambda x: jnp.transpose(x, (0, 1, 3, 2))), img)
-    attempt("p0_transpose_whc",
-            lambda: jax.jit(lambda x: jnp.transpose(x, (0, 2, 1, 3))), img)
 
-    # ---- p1: dynamic leading-dim read --------------------------------
+    # ---- p1: dynamic second-dim read ---------------------------------
     def _p1_kernel(coef_ref, img_ref, out_ref):
         bb = pl.program_id(0)
         r = coef_ref[bb, 1]
@@ -110,88 +115,89 @@ def main() -> int:
     def p1_build():
         return jax.jit(pl.pallas_call(
             _p1_kernel,
-            grid=(b, c // cc),
+            grid=(b, w // wt),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, h, w, cc), lambda bb, ci: (bb, 0, 0, ci)),
+                pl.BlockSpec((1, h, wt, c), lambda bb, xw: (bb, 0, xw, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 8, w, cc),
-                                   lambda bb, ci: (bb, 0, 0, ci)),
+            out_specs=pl.BlockSpec((1, 8, wt, c),
+                                   lambda bb, xw: (bb, 0, xw, 0)),
             out_shape=jax.ShapeDtypeStruct((b, 8, w, c), jnp.bfloat16),
         ))
 
     def p1_check(out):
-        y0 = int(np.floor(-2.0 + 10.0))
+        y0 = int(np.floor(r_c + 10.0))
         want = np.asarray(img[:, y0:y0 + 8], np.float32)
         return np.max(np.abs(np.asarray(out, np.float32) - want))
 
     attempt("p1_dynamic_row", p1_build, coefs, img, check=p1_check)
 
-    # ---- p2: banded V pass (2-sparse blend, VPU only) ----------------
-    K = 8          # static band; covers |p|*W <= 5 px plus the 2 taps
-    it = 8
-
-    def _banded_kernel(coef_ref, img_ref, out_ref, *, itile_dim: int):
+    # ---- p2: banded V pass (K-tap blend, VPU only) ---------------------
+    def _banded_kernel(coef_ref, img_ref, out_ref, *,
+                       itile_dim: int, xtile_dim: int):
         bb = pl.program_id(0)
         itile = pl.program_id(itile_dim)
+        xtile = pl.program_id(xtile_dim)
         q = coef_ref[bb, 0]
         r = coef_ref[bb, 1]
         p = coef_ref[bb, 2]
-        xs = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1).astype(
-            jnp.float32)
-        # analytic scalar band base (dynamic indices must stay in the
-        # scalar unit — a vector min would need a cross-lane reduction)
-        pmin = jnp.minimum(p * (w - 1.0), 0.0)
+        x0 = (xtile * wt).astype(jnp.float32)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (wt, 1), 0).astype(
+            jnp.float32) + x0
+        # analytic scalar band base over the strip (dynamic indices must
+        # stay in the scalar unit)
+        pmin = jnp.minimum(p * x0, p * (x0 + wt - 1.0))
         for di in range(it):
             i = (itile * it + di).astype(jnp.float32)
-            gy = q * i + r + p * xs                       # (1, W)
-            base_f = q * i + r + pmin
-            y0 = jnp.floor(base_f).astype(jnp.int32)
+            gy = q * i + r + p * xs                       # (wt, 1)
+            y0 = jnp.floor(q * i + r + pmin).astype(jnp.int32)
             y0 = jnp.clip(y0, 0, h - K)
-            acc = jnp.zeros((w, cc), jnp.float32)
+            acc = jnp.zeros((wt, c), jnp.float32)
             for k in range(K):
                 yk = (y0 + k).astype(jnp.float32)
-                wk = jnp.maximum(1.0 - jnp.abs(gy - yk), 0.0)  # (1, W)
-                slab = img_ref[0, y0 + k].astype(jnp.float32)  # (W, cc)
-                acc = acc + wk.reshape(w, 1) * slab
+                wk = jnp.maximum(1.0 - jnp.abs(gy - yk), 0.0)  # (wt, 1)
+                slab = img_ref[0, y0 + k].astype(jnp.float32)  # (wt, c)
+                acc = acc + wk * slab
             out_ref[0, di] = acc.astype(out_ref.dtype)
 
     def banded_build(i_outer: bool):
         if i_outer:
-            grid = (b, h // it, c // cc)
-            imap_in = lambda bb, ii, ci: (bb, 0, 0, ci)      # noqa: E731
-            imap_out = lambda bb, ii, ci: (bb, ii, 0, ci)    # noqa: E731
-            itile_dim = 1
+            grid = (b, h // it, w // wt)
+            imap_in = lambda bb, ii, xw: (bb, 0, xw, 0)      # noqa: E731
+            imap_out = lambda bb, ii, xw: (bb, ii, xw, 0)    # noqa: E731
+            itile_dim, xtile_dim = 1, 2
         else:
-            grid = (b, c // cc, h // it)
-            imap_in = lambda bb, ci, ii: (bb, 0, 0, ci)      # noqa: E731
-            imap_out = lambda bb, ci, ii: (bb, ii, 0, ci)    # noqa: E731
-            itile_dim = 2
+            grid = (b, w // wt, h // it)
+            imap_in = lambda bb, xw, ii: (bb, 0, xw, 0)      # noqa: E731
+            imap_out = lambda bb, xw, ii: (bb, ii, xw, 0)    # noqa: E731
+            itile_dim, xtile_dim = 2, 1
         return jax.jit(pl.pallas_call(
-            functools.partial(_banded_kernel, itile_dim=itile_dim),
+            functools.partial(_banded_kernel, itile_dim=itile_dim,
+                              xtile_dim=xtile_dim),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, h, w, cc), imap_in),
+                pl.BlockSpec((1, h, wt, c), imap_in),
             ],
-            out_specs=pl.BlockSpec((1, it, w, cc), imap_out),
+            out_specs=pl.BlockSpec((1, it, wt, c), imap_out),
             out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
         ))
 
     def banded_check(out):
-        # oracle: dense tent matmul on host for sample 0, channel 0
-        q, r, p = 1.02, -2.0, 0.01
-        ii = np.arange(h)[:, None]
-        xs = np.arange(w)[None, :]
-        gy = q * ii + r + p * xs                          # (Ho, W)
+        # oracle: banded blend on host for sample 0, channel 0
         im0 = np.asarray(img[0, :, :, 0], np.float32)     # (H, W)
         want = np.zeros((h, w), np.float32)
-        pmin = min(p * (w - 1.0), 0.0)
-        for i in range(h):
-            base = int(np.clip(np.floor(q * i + r + pmin), 0, h - K))
-            for k in range(K):
-                wk = np.maximum(1.0 - np.abs(gy[i] - (base + k)), 0.0)
-                want[i] += wk * im0[base + k]
+        for xw in range(w // wt):
+            x0 = xw * wt
+            xs = np.arange(x0, x0 + wt)
+            pmin = min(p_c * x0, p_c * (x0 + wt - 1.0))
+            for i in range(h):
+                gy = q_c * i + r_c + p_c * xs             # (wt,)
+                base = int(np.clip(np.floor(q_c * i + r_c + pmin),
+                                   0, h - K))
+                for k in range(K):
+                    wk = np.maximum(1.0 - np.abs(gy - (base + k)), 0.0)
+                    want[i, x0:x0 + wt] += wk * im0[base + k, x0:x0 + wt]
         got = np.asarray(out[0, :, :, 0], np.float32)
         return np.max(np.abs(got - want))
 
@@ -199,20 +205,6 @@ def main() -> int:
             check=banded_check)
     attempt("p2b_banded_blend_iouter", lambda: banded_build(True),
             coefs, img, check=banded_check)
-
-    # ---- p3: in-kernel 2-D transpose ---------------------------------
-    def _p3_kernel(img_ref, out_ref):
-        for y in range(4):
-            tile = img_ref[0, y]                          # (W, cc)
-            out_ref[0, y] = jnp.transpose(tile, (1, 0))   # (cc, W)
-
-    attempt("p3_kernel_transpose", lambda: jax.jit(pl.pallas_call(
-        _p3_kernel,
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, 4, w, cc), lambda bb: (bb, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, 4, cc, w), lambda bb: (bb, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, 4, cc, w), jnp.bfloat16),
-    )), img)
 
     # ---- p4: simple fori_loop with a dot ------------------------------
     def _p4_kernel(img_ref, out_ref):
@@ -224,59 +216,100 @@ def main() -> int:
                 .astype(jnp.float32)), 0.0).astype(jnp.bfloat16)
 
         def body(y, _):
-            row = img_ref[0, y]                           # (W, cc)
+            row = img_ref[0, y]                           # (W, C)
             o = jax.lax.dot_general(
                 mh, row, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             out_ref[0, y] = o.astype(out_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(0, h, body, 0)
+        jax.lax.fori_loop(0, it, body, 0)
 
     attempt("p4_fori_dot", lambda: jax.jit(pl.pallas_call(
         _p4_kernel,
-        grid=(b, c // cc),
-        in_specs=[pl.BlockSpec((1, h, w, cc), lambda bb, ci: (bb, 0, 0, ci))],
-        out_specs=pl.BlockSpec((1, h, w, cc), lambda bb, ci: (bb, 0, 0, ci)),
+        grid=(b, h // it),
+        in_specs=[pl.BlockSpec((1, it, w, c), lambda bb, ii: (bb, ii, 0, 0))],
+        out_specs=pl.BlockSpec((1, it, w, c), lambda bb, ii: (bb, ii, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
     )), img)
 
-    # ---- p5: H pass, full-lane orientation (Cc,W)@(W,Wo) --------------
-    img_cm = jnp.transpose(img, (0, 1, 3, 2))             # (B, H, C, W)
-    ht = 8
-
-    def _p5_kernel(coef_ref, img_ref, out_ref):
+    # ---- p6: H pass on NHWC rows, pre-transposed tent ------------------
+    def _p6_kernel(coef_ref, img_ref, out_ref):
         bb = pl.program_id(0)
+        itile = pl.program_id(1)
         q = coef_ref[bb, 0]
         r = coef_ref[bb, 1]
-        htile = pl.program_id(2)
-        # tent TRANSPOSED, built directly as (W=x rows, Wo=j cols)
-        xs_r = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(
-            jnp.float32)                                  # x (rows)
-        js_c = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1).astype(
-            jnp.float32)                                  # j (cols)
-        for dy in range(ht):
-            i = (htile * ht + dy).astype(jnp.float32)
-            mhT = jnp.maximum(
-                1.0 - jnp.abs(q * js_c + 0.001 * i + r - xs_r),
-                0.0).astype(jnp.bfloat16)                 # (W, Wo)
-            rowT = img_ref[0, dy]                         # (cc, W)
+        # tent built directly as (Wo=j rows, W=x cols)
+        js_r = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(
+            jnp.float32)
+        xs_c = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1).astype(
+            jnp.float32)
+        for dy in range(it):
+            i = (itile * it + dy).astype(jnp.float32)
+            mh = jnp.maximum(
+                1.0 - jnp.abs(q * js_r + 0.001 * i + r - xs_c),
+                0.0).astype(jnp.bfloat16)                 # (Wo, W)
+            row = img_ref[0, dy]                          # (W, C)
             o = jax.lax.dot_general(
-                rowT, mhT, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # (cc, Wo)
+                mh, row, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (Wo, C)
             out_ref[0, dy] = o.astype(out_ref.dtype)
 
-    attempt("p5_hpass_tn", lambda: jax.jit(pl.pallas_call(
-        _p5_kernel,
-        grid=(b, c // cc, h // ht),
+    def p6_check(out):
+        js = np.arange(w, dtype=np.float64)[:, None]
+        xs = np.arange(w, dtype=np.float64)[None, :]
+        got = np.asarray(out[0, :, :, 0], np.float32)
+        err = 0.0
+        im0 = np.asarray(img[0], np.float32)              # (H, W, C)
+        for i in range(0, h, 37):
+            mh = np.maximum(1.0 - np.abs(q_c * js + 0.001 * i + r_c - xs),
+                            0.0)
+            want = mh @ im0[i, :, 0]
+            err = max(err, float(np.max(np.abs(got[i] - want))))
+        return err
+
+    attempt("p6_hpass_nhwc", lambda: jax.jit(pl.pallas_call(
+        _p6_kernel,
+        grid=(b, h // it),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ht, cc, w), lambda bb, ci, hi: (bb, hi, ci, 0)),
+            pl.BlockSpec((1, it, w, c), lambda bb, ii: (bb, ii, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, ht, cc, w),
-                               lambda bb, ci, hi: (bb, hi, ci, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, c, w), jnp.bfloat16),
-    )), coefs, img_cm)
+        out_specs=pl.BlockSpec((1, it, w, c), lambda bb, ii: (bb, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
+    )), coefs, img, check=p6_check)
+
+    # ---- p6b: same contraction expressed as ((0,),(0,)) ----------------
+    def _p6b_kernel(coef_ref, img_ref, out_ref):
+        bb = pl.program_id(0)
+        itile = pl.program_id(1)
+        q = coef_ref[bb, 0]
+        r = coef_ref[bb, 1]
+        xs_r = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0).astype(
+            jnp.float32)
+        js_c = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1).astype(
+            jnp.float32)
+        for dy in range(it):
+            i = (itile * it + dy).astype(jnp.float32)
+            mh = jnp.maximum(
+                1.0 - jnp.abs(q * js_c + 0.001 * i + r - xs_r),
+                0.0).astype(jnp.bfloat16)                 # (W, Wo)
+            row = img_ref[0, dy]                          # (W, C)
+            o = jax.lax.dot_general(
+                mh, row, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # (Wo, C)
+            out_ref[0, dy] = o.astype(out_ref.dtype)
+
+    attempt("p6b_hpass_c0", lambda: jax.jit(pl.pallas_call(
+        _p6b_kernel,
+        grid=(b, h // it),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, it, w, c), lambda bb, ii: (bb, ii, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, it, w, c), lambda bb, ii: (bb, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.bfloat16),
+    )), coefs, img, check=p6_check)
 
     out_path = (sys.argv[1] if len(sys.argv) > 1
                 else "/tmp/warp_v3_probe.json")

@@ -125,7 +125,7 @@ def test_pcl_warp_modes_agree(rng):
     variables = jax.tree_util.tree_map(lambda v: v, variables)
     variables["params"]["fc_transform"]["bias"] = bias
     want = gather.apply(variables, x, k4)
-    for mode in ("auto", "two_pass", "pallas"):
+    for mode in ("auto", "two_pass", "pallas", "fused"):
         pcl = PerspectiveCorrectionLayer(feature_channels=8, warp_mode=mode,
                                          dtype=jnp.float32)
         got = pcl.apply(variables, x, k4)

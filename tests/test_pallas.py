@@ -262,3 +262,162 @@ def test_two_pass_warp_kernel_grads_at_kinks(rng):
             np.testing.assert_allclose(
                 np.asarray(gp_t) / scale, np.asarray(gt_t) / scale,
                 atol=2e-5, err_msg=f"pallas-vs-truth {name}/{pad}")
+
+
+# ---------------------------------------------------------------------------
+# Fused NHWC banded warp (ops/pallas/fused_warp.py)
+# ---------------------------------------------------------------------------
+
+def test_fused_warp_matches_two_pass(rng):
+    """NHWC banded warp (interpret mode): matches two_pass_affine_warp
+    — the production PCL warp, pcl_layer.h:97-110 semantics — to fp32
+    noise inside the fused_warp_theta_ok regime. H=48 exercises REAL
+    banding (kb_fwd=16 < H, kb_bwd=24 < H), unlike tiny sizes where the
+    clamped band degenerates to dense."""
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+    from cadepth_tpu.ops.pallas.fused_warp import (
+        fused_warp_theta_ok,
+        pallas_fused_warp,
+    )
+
+    cases = {
+        "identity": np.array([[1, 0, 0], [0, 1, 0.0]]),
+        "zoom_shift": np.array([[0.8, 0, 0.1], [0, 1.2, -0.2]]),
+        "rotation": np.array([[0.999, -0.03, 0.02], [0.03, 0.999, 0.01]]),
+        "shear": np.array([[1.0, 0.1, 0.0], [0.05, 1.0, 0.0]]),
+        "oob_translate": np.array([[1, 0, 0.9], [0, 1, 0.9]]),
+    }
+    for (h, w, c, b) in [(48, 64, 8, 2), (15, 20, 16, 3)]:
+        img = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        for name, th in cases.items():
+            theta = jnp.asarray(
+                (np.tile(th[None], (b, 1, 1))
+                 + rng.normal(scale=0.01, size=(b, 2, 3))).astype(np.float32))
+            assert bool(np.asarray(fused_warp_theta_ok(theta, h, w)).all()), \
+                f"{name}/{h}x{w} unexpectedly outside the band regime"
+            want = two_pass_affine_warp(img, theta, "zeros", False, "highest")
+            got = pallas_fused_warp(img, theta, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-4,
+                err_msg=f"{name}/{h}x{w}")
+
+
+def test_fused_warp_border_raises(rng):
+    """border padding makes the banded adjoint unbounded at edges; the
+    fused warp refuses it (callers fall back to two_pass)."""
+    from cadepth_tpu.ops.pallas.fused_warp import pallas_fused_warp
+
+    img = jnp.zeros((1, 16, 24, 8), jnp.float32)
+    theta = jnp.asarray(np.eye(2, 3, dtype=np.float32)[None])
+    with pytest.raises(ValueError, match="zeros"):
+        pallas_fused_warp(img, theta, padding_mode="border", interpret=True)
+
+
+def test_fused_warp_theta_ok_rejects_out_of_band(rng):
+    """Thetas whose vertical footprint exceeds the static band must be
+    flagged invalid (they would silently truncate taps)."""
+    from cadepth_tpu.ops.pallas.fused_warp import fused_warp_theta_ok
+
+    h, w = 48, 64
+    big_zoom = jnp.asarray(
+        np.array([[[1.0, 0, 0], [0, 2.5, 0.0]]], np.float32))  # |q|~2.5
+    tiny_zoom = jnp.asarray(
+        np.array([[[1.0, 0, 0], [0, 0.2, 0.0]]], np.float32))  # |q|~0.2
+    big_rot = jnp.asarray(
+        np.array([[[0.96, -0.28, 0], [0.28, 0.96, 0.0]]], np.float32))
+    near_id = jnp.asarray(
+        np.array([[[1.02, -0.02, 0.1], [0.02, 0.97, -0.1]]], np.float32))
+    assert not bool(np.asarray(fused_warp_theta_ok(big_zoom, h, w)).any())
+    assert not bool(np.asarray(fused_warp_theta_ok(tiny_zoom, h, w)).any())
+    assert not bool(np.asarray(fused_warp_theta_ok(big_rot, h, w)).any())
+    assert bool(np.asarray(fused_warp_theta_ok(near_id, h, w)).all())
+
+
+def test_fused_warp_bf16(rng):
+    """bf16 path: tent weights quantized to bf16 like the XLA version's
+    _mat_dtype discipline; agreement within bf16 resolution."""
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+    from cadepth_tpu.ops.pallas.fused_warp import pallas_fused_warp
+
+    b, h, w, c = 2, 48, 64, 8
+    img = jnp.asarray(rng.normal(size=(b, h, w, c))).astype(jnp.bfloat16)
+    theta = jnp.asarray(np.tile(
+        np.array([[0.9, -0.02, 0.1], [0.02, 1.05, 0.0]], np.float32)[None],
+        (b, 1, 1)))
+    want = two_pass_affine_warp(img, theta)
+    got = pallas_fused_warp(img, theta, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05)
+
+
+def test_fused_warp_grads_match_xla(rng):
+    """Trainable fused warp (interpret mode): d_img and d_theta match
+    the XLA two-pass custom VJP to fp32 reduction noise — with the
+    banded backward genuinely banded (H=48 > kb_bwd=24)."""
+    from cadepth_tpu.ops.affine_warp import two_pass_affine_warp
+    from cadepth_tpu.ops.pallas.fused_warp import (
+        pallas_fused_warp_trainable,
+    )
+
+    b, h, w, c = 2, 48, 64, 8
+    img = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    for name, th0 in {
+        "near_identity": np.array([[1.0, -0.02, 0.05], [0.02, 0.97, -0.03]]),
+        "zoom": np.array([[0.8, 0.0, 0.1], [0.0, 1.2, -0.2]]),
+        "rotation": np.array([[0.999, -0.03, 0.02], [0.03, 0.999, 0.01]]),
+    }.items():
+        theta = jnp.asarray(
+            (np.tile(th0[None], (b, 1, 1))
+             + rng.normal(scale=0.01, size=(b, 2, 3))).astype(np.float32))
+
+        def loss_ref(im, t):
+            return jnp.sum(jnp.sin(
+                two_pass_affine_warp(im, t, "zeros", False, "highest")))
+
+        def loss_pal(im, t):
+            return jnp.sum(jnp.sin(
+                pallas_fused_warp_trainable(im, t, "zeros", False, True)))
+
+        gr_i, gr_t = jax.grad(loss_ref, argnums=(0, 1))(img, theta)
+        gp_i, gp_t = jax.grad(loss_pal, argnums=(0, 1))(img, theta)
+        np.testing.assert_allclose(np.asarray(gp_i), np.asarray(gr_i),
+                                   atol=1e-4, err_msg=f"d_img {name}")
+        scale = float(jnp.max(jnp.abs(gr_t))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(gp_t) / scale, np.asarray(gr_t) / scale,
+            atol=2e-5, err_msg=f"d_theta {name}")
+
+
+def test_fused_warp_grads_at_kinks(rng):
+    """d_theta at EXACT identity / axis-aligned thetas (the PCL's
+    identity-initialized operating point) — same kink-convention
+    regression as the two_pass kernel's test; the fused backward reuses
+    _dtent so it must inherit the fix."""
+    from cadepth_tpu.ops import affine_warp as aw
+    from cadepth_tpu.ops.pallas.fused_warp import (
+        pallas_fused_warp_trainable,
+    )
+
+    b, h, w, c = 1, 48, 64, 8
+    img = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    for name, th0 in {
+        "identity": np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),
+        "scale_y": np.array([[1.0, 0.0, 0.0], [0.0, 1.02, 0.0]]),
+        "shear_d": np.array([[1.0, 0.0, 0.0], [0.01, 1.0, 0.0]]),
+    }.items():
+        theta = jnp.asarray(np.tile(th0[None], (b, 1, 1)).astype(np.float32))
+
+        def loss_truth(im, t):
+            return jnp.sum(aw._warp_fwd(im, t, "zeros", False, None)[0])
+
+        def loss_pal(im, t):
+            return jnp.sum(
+                pallas_fused_warp_trainable(im, t, "zeros", False, True))
+
+        gt_t = jax.grad(loss_truth, argnums=1)(img, theta)
+        gp_t = jax.grad(loss_pal, argnums=1)(img, theta)
+        scale = float(jnp.max(jnp.abs(gt_t))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(gp_t) / scale, np.asarray(gt_t) / scale,
+            atol=2e-5, err_msg=f"pallas-vs-truth {name}")
