@@ -112,6 +112,12 @@ class ModelConfig:
     # 2x2 s2) | "resize" (nearest 2x + Conv3x3 experiment — denser MXU
     # work than the strided transpose-conv lowering).
     decoder_upsample: str = "transpose"
+    # Spatial-attention conv lowering (models/attention.py
+    # SpatialGateConv): "toeplitz" (width-in-lanes GEMM, fastest on TPU)
+    # | "stencil" (shifted-slice VPU fusion) | "conv" (direct lax.conv —
+    # the reference-style lowering). Same math and parameters in all
+    # three (bf16 summation-order tolerance); PERF_NOTES "CBAM cost".
+    sa_lowering: str = "toeplitz"
 
 
 @dataclasses.dataclass
@@ -349,6 +355,9 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
         decoder_upsample=_enum(m.get("decoder_upsample", "transpose"),
                                ("transpose", "resize"),
                                "model.decoder_upsample"),
+        sa_lowering=_enum(m.get("sa_lowering", "toeplitz"),
+                          ("toeplitz", "stencil", "conv"),
+                          "model.sa_lowering"),
     )
 
     o = raw.get("optimization", {})
@@ -427,6 +436,13 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
     lg = raw.get("logging", {})
     tb = lg.get("tensorboard", {})
     csv = lg.get("csv", {})
+    # accept the bool shorthand `tensorboard: false` (mirrors the CLI's
+    # --tensorboard flag) alongside the reference's nested block
+    # (`train_config.yaml:158-162`)
+    if isinstance(tb, bool):
+        tb = {"enabled": tb}
+    if isinstance(csv, bool):
+        csv = {"enabled": csv}
     cfg.logging = LoggingConfig(
         log_dir=lg.get("log_dir", "./logs"),
         tensorboard_enabled=bool(tb.get("enabled", True)),

@@ -47,6 +47,7 @@ def create_model(
     pcl_warp: str = "two_pass",
     norm: str = "batch",
     decoder_upsample: str = "transpose",
+    sa_lowering: str = "toeplitz",
     dtype: Any = jnp.bfloat16,
 ) -> nn.Module:
     """Build a model by architecture string (train_config.yaml `model:` block).
@@ -57,9 +58,12 @@ def create_model(
     `intrinsics_attention_unet` is an explicit alias. ``norm`` and
     ``decoder_upsample`` are TPU performance experiment knobs
     (models/layers.py apply_norm / upsample2x); the defaults are
-    reference parity.
+    reference parity. ``sa_lowering`` picks the spatial-attention conv
+    lowering (models/attention.py SpatialGateConv — same math and
+    params, TPU-friendly GEMM by default).
     """
     exp_kw = dict(norm=norm, decoder_upsample=decoder_upsample)
+    att_kw = dict(sa_lowering=sa_lowering, **exp_kw)
     if architecture == "baseline_unet":
         return BaselineUNet(in_channels=in_channels, init_features=init_features,
                             max_depth=max_depth, remat=remat, dtype=dtype,
@@ -69,7 +73,7 @@ def create_model(
             return IntrinsicsAttentionUNet(
                 in_channels=in_channels, init_features=init_features,
                 camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-                dtype=dtype, **exp_kw)
+                dtype=dtype, **att_kw)
         return IntrinsicsConditionedUNet(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth, remat=remat,
@@ -78,23 +82,23 @@ def create_model(
         return IntrinsicsAttentionUNet(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-            dtype=dtype, **exp_kw)
+            dtype=dtype, **att_kw)
     if architecture == "geometry_aware":
         if variant == "lightweight":
             return LightweightGeometryNetwork(
                 in_channels=in_channels, init_features=min(init_features, 32),
                 camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-                pcl_warp=pcl_warp, dtype=dtype, **exp_kw)
+                pcl_warp=pcl_warp, dtype=dtype, **att_kw)
         return GeometryAwareNetwork(
             in_channels=in_channels, init_features=init_features,
             camera_dim=camera_dim, max_depth=max_depth,
             use_pcl=use_pcl, use_attention=use_attention, remat=remat,
-            pcl_warp=pcl_warp, dtype=dtype, **exp_kw)
+            pcl_warp=pcl_warp, dtype=dtype, **att_kw)
     if architecture == "geometry_aware_lightweight":
         return LightweightGeometryNetwork(
             in_channels=in_channels, init_features=min(init_features, 32),
             camera_dim=camera_dim, max_depth=max_depth, remat=remat,
-            pcl_warp=pcl_warp, dtype=dtype, **exp_kw)
+            pcl_warp=pcl_warp, dtype=dtype, **att_kw)
     raise ValueError(
         f"Unknown architecture '{architecture}'; expected one of {ARCHITECTURES}")
 

@@ -62,6 +62,7 @@ class GeometryEncoderBlock(nn.Module):
     use_attention: bool = True
     dtype: Any = jnp.bfloat16
     norm: str = "batch"
+    sa_lowering: str = "toeplitz"
 
     @nn.compact
     def __call__(self, x, camera_params,
@@ -72,7 +73,8 @@ class GeometryEncoderBlock(nn.Module):
                             name="conv")(
             x, camera_params, ray_directions, train)
         if self.use_attention:
-            x = CBAM(self.features, dtype=self.dtype, name="attention")(x)
+            x = CBAM(self.features, dtype=self.dtype,
+                     sa_lowering=self.sa_lowering, name="attention")(x)
         return x
 
 
@@ -88,6 +90,7 @@ class GeometryDecoderBlock(nn.Module):
     pcl_warp: str = "two_pass"
     norm: str = "batch"
     upsample: str = "transpose"
+    sa_lowering: str = "toeplitz"
 
     @nn.compact
     def __call__(self, x, skip, camera_params,
@@ -104,7 +107,8 @@ class GeometryDecoderBlock(nn.Module):
                             name="conv")(
             x, camera_params, None, train)
         if self.use_attention:
-            x = CBAM(self.features, dtype=self.dtype, name="attention")(x)
+            x = CBAM(self.features, dtype=self.dtype,
+                     sa_lowering=self.sa_lowering, name="attention")(x)
         return x
 
 
@@ -130,6 +134,9 @@ class GeometryAwareNetwork(nn.Module):
     # "batch" | "group" and "transpose" | "resize" (models/layers.py)
     norm: str = "batch"
     decoder_upsample: str = "transpose"
+    # spatial-attention conv lowering: "toeplitz" | "stencil" | "conv"
+    # (models/attention.py SpatialGateConv)
+    sa_lowering: str = "toeplitz"
 
     @nn.compact
     def __call__(self, rgb, ray_directions, camera_intrinsics,
@@ -140,6 +147,7 @@ class GeometryAwareNetwork(nn.Module):
         x = rgb.astype(self.dtype)
         rays = ray_directions
         nm, up = self.norm, self.decoder_upsample
+        sal = self.sa_lowering
 
         RayConv = maybe_remat(RayEnhancedConv, (4,), self.remat)
         Enc = maybe_remat(GeometryEncoderBlock, (4,), self.remat)
@@ -150,20 +158,21 @@ class GeometryAwareNetwork(nn.Module):
                             highres_block=False)
 
         skip1 = RayConv(f, self.dtype, nm, name="enc1")(x, cam, rays, train)
-        skip2 = Enc(f * 2, self.use_attention, self.dtype, nm,
+        skip2 = Enc(f * 2, self.use_attention, self.dtype, nm, sal,
                     name="enc2")(skip1, cam, None, train)
-        skip3 = EncLo(f * 4, self.use_attention, self.dtype, nm,
+        skip3 = EncLo(f * 4, self.use_attention, self.dtype, nm, sal,
                       name="enc3")(skip2, cam, None, train)
-        skip4 = EncLo(f * 8, self.use_attention, self.dtype, nm,
+        skip4 = EncLo(f * 8, self.use_attention, self.dtype, nm, sal,
                       name="enc4")(skip3, cam, None, train)
-        skip5 = EncLo(f * 16, self.use_attention, self.dtype, nm,
+        skip5 = EncLo(f * 16, self.use_attention, self.dtype, nm, sal,
                       name="enc5")(skip4, cam, None, train)
 
-        x = EncLo(f * 32, self.use_attention, self.dtype, nm,
+        x = EncLo(f * 32, self.use_attention, self.dtype, nm, sal,
                   name="bottleneck")(skip5, cam, None, train)
 
         # Decoder rays at factors 16/8/4/2/1 (`geometry_aware_network.h:310-316`).
-        dec_kw = dict(pcl_warp=self.pcl_warp, norm=nm, upsample=up)
+        dec_kw = dict(pcl_warp=self.pcl_warp, norm=nm, upsample=up,
+                      sa_lowering=sal)
         x = DecLo(f * 16, self.use_pcl, self.use_attention,
                   self.dtype, name="dec5", **dec_kw)(
             x, skip5, cam, avg_pool2d(rays, 16), train)
@@ -200,6 +209,7 @@ class LightweightGeometryNetwork(nn.Module):
     pcl_warp: str = "two_pass"
     norm: str = "batch"
     decoder_upsample: str = "transpose"
+    sa_lowering: str = "toeplitz"
 
     @nn.compact
     def __call__(self, rgb, ray_directions, camera_intrinsics,
@@ -210,6 +220,7 @@ class LightweightGeometryNetwork(nn.Module):
         x = rgb.astype(self.dtype)
         rays = ray_directions
         nm, up = self.norm, self.decoder_upsample
+        sal = self.sa_lowering
         RayConv = maybe_remat(RayEnhancedConv, (4,), self.remat)
         Enc = maybe_remat(GeometryEncoderBlock, (4,), self.remat)
         Dec = maybe_remat(GeometryDecoderBlock, (5,), self.remat)
@@ -219,17 +230,18 @@ class LightweightGeometryNetwork(nn.Module):
                             highres_block=False)
 
         skip1 = RayConv(f, self.dtype, nm, name="enc1")(x, cam, rays, train)
-        skip2 = Enc(f * 2, True, self.dtype, nm, name="enc2")(
+        skip2 = Enc(f * 2, True, self.dtype, nm, sal, name="enc2")(
             skip1, cam, None, train)
-        skip3 = EncLo(f * 4, True, self.dtype, nm, name="enc3")(
+        skip3 = EncLo(f * 4, True, self.dtype, nm, sal, name="enc3")(
             skip2, cam, None, train)
-        skip4 = EncLo(f * 8, True, self.dtype, nm, name="enc4")(
+        skip4 = EncLo(f * 8, True, self.dtype, nm, sal, name="enc4")(
             skip3, cam, None, train)
 
-        x = EncLo(f * 16, True, self.dtype, nm, name="bottleneck")(
+        x = EncLo(f * 16, True, self.dtype, nm, sal, name="bottleneck")(
             skip4, cam, None, train)
 
-        dec_kw = dict(pcl_warp=self.pcl_warp, norm=nm, upsample=up)
+        dec_kw = dict(pcl_warp=self.pcl_warp, norm=nm, upsample=up,
+                      sa_lowering=sal)
         x = DecLo(f * 8, True, True, self.dtype, name="dec4", **dec_kw)(
             x, skip4, cam, avg_pool2d(rays, 8), train)
         x = DecLo(f * 4, True, True, self.dtype, name="dec3", **dec_kw)(

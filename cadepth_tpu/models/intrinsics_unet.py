@@ -137,6 +137,7 @@ class IntrinsicsAttentionUNet(nn.Module):
     dtype: Any = jnp.bfloat16
     norm: str = "batch"
     decoder_upsample: str = "transpose"
+    sa_lowering: str = "toeplitz"
 
     @nn.compact
     def __call__(self, rgb, camera_intrinsics, train: bool = False):
@@ -145,6 +146,7 @@ class IntrinsicsAttentionUNet(nn.Module):
         cam = normalize_k4(camera_intrinsics, width=w, height=h)
         x = rgb.astype(self.dtype)
         nm, up = self.norm, self.decoder_upsample
+        sal = self.sa_lowering
         DC = maybe_remat(FiLMDoubleConv, (3,), self.remat)
         Enc = maybe_remat(FiLMEncoderBlock, (3,), self.remat)
         Dec = maybe_remat(FiLMDecoderBlock, (4,), self.remat)
@@ -162,13 +164,13 @@ class IntrinsicsAttentionUNet(nn.Module):
                   name="bottleneck")(skip4, cam, train)
 
         x = DecLo(f * 8, self.dtype, nm, up, name="dec4")(x, skip4, cam, train)
-        x = CBAM(f * 8, dtype=self.dtype, name="att4")(x)
+        x = CBAM(f * 8, dtype=self.dtype, sa_lowering=sal, name="att4")(x)
         x = DecLo(f * 4, self.dtype, nm, up, name="dec3")(x, skip3, cam, train)
-        x = CBAM(f * 4, dtype=self.dtype, name="att3")(x)
+        x = CBAM(f * 4, dtype=self.dtype, sa_lowering=sal, name="att3")(x)
         x = Dec(f * 2, self.dtype, nm, up, name="dec2")(x, skip2, cam, train)
-        x = CBAM(f * 2, dtype=self.dtype, name="att2")(x)
+        x = CBAM(f * 2, dtype=self.dtype, sa_lowering=sal, name="att2")(x)
         x = Dec(f, self.dtype, nm, up, name="dec1")(x, skip1, cam, train)
-        x = CBAM(f, dtype=self.dtype, name="att1")(x)
+        x = CBAM(f, dtype=self.dtype, sa_lowering=sal, name="att1")(x)
 
         x = nn.Conv(1, (1, 1), dtype=jnp.float32, name="out_conv")(
             x.astype(jnp.float32))

@@ -74,6 +74,7 @@ def build_model_and_loss(cfg: Config, dtype=jnp.bfloat16):
         pcl_warp=cfg.model.pcl_warp,
         norm=cfg.model.norm,
         decoder_upsample=cfg.model.decoder_upsample,
+        sa_lowering=cfg.model.sa_lowering,
         dtype=dtype if cfg.training.use_amp else jnp.float32,
     )
     loss_fn = CombinedDepthLoss(

@@ -46,6 +46,7 @@ def main():
     class SAOff(nn.Module):
         kernel_size: int = 7
         dtype: Any = jnp.bfloat16
+        lowering: str = "toeplitz"
 
         @nn.compact
         def __call__(self, x):
@@ -54,6 +55,7 @@ def main():
     class SAMeanMean(nn.Module):
         kernel_size: int = 7
         dtype: Any = jnp.bfloat16
+        lowering: str = "toeplitz"
 
         @nn.compact
         def __call__(self, x):
@@ -67,6 +69,7 @@ def main():
     class SA1x1(nn.Module):
         kernel_size: int = 7
         dtype: Any = jnp.bfloat16
+        lowering: str = "toeplitz"
 
         @nn.compact
         def __call__(self, x):
@@ -80,6 +83,7 @@ def main():
     class SASg(nn.Module):
         kernel_size: int = 7
         dtype: Any = jnp.bfloat16
+        lowering: str = "toeplitz"
 
         @nn.compact
         def __call__(self, x):

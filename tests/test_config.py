@@ -105,6 +105,28 @@ def test_defaults_from_empty():
     assert d["model"]["architecture"] == "baseline_unet"
 
 
+def test_logging_bool_shorthand():
+    # `tensorboard: false` / `csv: true` accepted alongside the
+    # reference's nested {enabled: ...} blocks
+    cfg = config_from_dict({"logging": {"tensorboard": False, "csv": True}})
+    assert cfg.logging.tensorboard_enabled is False
+    assert cfg.logging.csv_enabled is True
+    cfg = config_from_dict(
+        {"logging": {"tensorboard": {"enabled": True,
+                                     "log_scalar_interval": 3}}})
+    assert cfg.logging.tensorboard_enabled is True
+    assert cfg.logging.log_scalar_interval == 3
+
+
+def test_model_sa_lowering_knob():
+    cfg = config_from_dict({"model": {"sa_lowering": "conv"}})
+    assert cfg.model.sa_lowering == "conv"
+    assert config_from_dict({}).model.sa_lowering == "toeplitz"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        config_from_dict({"model": {"sa_lowering": "winograd"}})
+
+
 def test_reference_config_loads():
     # the reference's shipped YAML should map cleanly
     cfg = load_config("/root/reference/configs/train_config.yaml")

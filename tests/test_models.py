@@ -84,6 +84,37 @@ def test_cbam_shape(rng):
     assert (np.asarray(ch_att) >= 0).all() and (np.asarray(ch_att) <= 1).all()
 
 
+def test_spatial_attention_lowering_parity(rng):
+    """The TPU lowerings of the spatial-attention conv (SpatialGateConv:
+    stencil / toeplitz) compute the same convolution as the direct
+    lax.conv with the SAME parameter tree — outputs and kernel grads
+    agree at f32, at odd non-tile-aligned shapes."""
+    from cadepth_tpu.models.attention import SpatialAttention
+
+    x = jnp.asarray(rng.normal(size=(2, 9, 13, 5)).astype(np.float32))
+    mods = {low: SpatialAttention(dtype=jnp.float32, lowering=low)
+            for low in ("conv", "stencil", "toeplitz")}
+    variables = mods["conv"].init(jax.random.PRNGKey(7), x)
+    # identical param trees (checkpoints are lowering-interchangeable)
+    for low, m in mods.items():
+        v = m.init(jax.random.PRNGKey(7), x)
+        assert (jax.tree_util.tree_structure(v)
+                == jax.tree_util.tree_structure(variables)), low
+    ref = np.asarray(mods["conv"].apply(variables, x))
+
+    def kernel_grad(m):
+        g = jax.grad(lambda v: (m.apply(v, x) * x.sum(-1, keepdims=True)
+                                ).sum())(variables)
+        return np.asarray(jax.tree_util.tree_leaves(g)[0])
+
+    gref = kernel_grad(mods["conv"])
+    for low in ("stencil", "toeplitz"):
+        out = np.asarray(mods[low].apply(variables, x))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+        np.testing.assert_allclose(kernel_grad(mods[low]), gref,
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_depth_spatial_attention_shape(rng):
     x = jnp.asarray(rng.normal(size=(B, 16, 16, 32)).astype(np.float32))
     mod = DepthSpatialAttention(channels=32, dtype=jnp.float32)
