@@ -319,14 +319,20 @@ def test_fused_warp_theta_ok_rejects_out_of_band(rng):
     from cadepth_tpu.ops.pallas.fused_warp import fused_warp_theta_ok
 
     h, w = 48, 64
-    big_zoom = jnp.asarray(
+    # it=4 / kb_f=12 band (the shipped tuning): pure-zoom coverage is
+    # q <= (kb_f-3)/(it-1) = 3.0 — q=2.5 is IN band (parity-exact,
+    # verified vs two_pass), q=3.5 is out.
+    mid_zoom = jnp.asarray(
         np.array([[[1.0, 0, 0], [0, 2.5, 0.0]]], np.float32))  # |q|~2.5
+    big_zoom = jnp.asarray(
+        np.array([[[1.0, 0, 0], [0, 3.5, 0.0]]], np.float32))  # |q|~3.5
     tiny_zoom = jnp.asarray(
         np.array([[[1.0, 0, 0], [0, 0.2, 0.0]]], np.float32))  # |q|~0.2
     big_rot = jnp.asarray(
         np.array([[[0.96, -0.28, 0], [0.28, 0.96, 0.0]]], np.float32))
     near_id = jnp.asarray(
         np.array([[[1.02, -0.02, 0.1], [0.02, 0.97, -0.1]]], np.float32))
+    assert bool(np.asarray(fused_warp_theta_ok(mid_zoom, h, w)).all())
     assert not bool(np.asarray(fused_warp_theta_ok(big_zoom, h, w)).any())
     assert not bool(np.asarray(fused_warp_theta_ok(tiny_zoom, h, w)).any())
     assert not bool(np.asarray(fused_warp_theta_ok(big_rot, h, w)).any())
