@@ -521,6 +521,12 @@ def main() -> None:
     phase("geometry_aware_b16_pallas_img_per_sec", 25.0,
           bench_device_step, "geometry_aware", batch=16, steps=30,
           init_features=64, pcl_warp="pallas")
+    # the production YAML's setting (480x640 f96; b8 is the measured
+    # per-chip optimum among configs the tunneled compiler accepts —
+    # PERF_NOTES "production geometry re-bench")
+    phase("geometry_aware_f96_480x640_b8_img_per_sec", 25.0,
+          bench_device_step, "geometry_aware", batch=8, steps=6,
+          windows=2, height=480, width=640, init_features=96)
     if phase("baseline_unet_pipeline_fed_img_per_sec", 10.0,
              bench_pipeline_fed, batch=16, steps=20) is not None:
         detail["pipeline_note"] = (
