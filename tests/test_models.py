@@ -365,6 +365,33 @@ def test_factory_unknown_raises():
         create_model("not_a_model")
 
 
+def test_sa_lowering_plumbs_to_models(rng):
+    """config -> factory -> module attribute, and model-level f32 parity
+    between the toeplitz default and the reference-style conv lowering
+    (same params, geometry model end to end)."""
+    from cadepth_tpu.config import config_from_dict
+    from cadepth_tpu.training.train_state import build_model_and_loss
+
+    cfg = config_from_dict({"model": {"architecture": "geometry_aware",
+                                      "init_features": 4,
+                                      "sa_lowering": "conv"},
+                            "training": {"use_amp": False}})
+    model_conv, _ = build_model_and_loss(cfg)
+    assert model_conv.sa_lowering == "conv"
+    cfg2 = config_from_dict({"model": {"architecture": "geometry_aware",
+                                       "init_features": 4},
+                             "training": {"use_amp": False}})
+    model_toep, _ = build_model_and_loss(cfg2)
+    assert model_toep.sa_lowering == "toeplitz"
+
+    rgb, rays, k4 = make_inputs(rng, b=1)
+    variables = model_conv.init(jax.random.PRNGKey(0), rgb, rays, k4)
+    # identical param trees -> apply the same variables through both
+    out_conv = np.asarray(model_conv.apply(variables, rgb, rays, k4))
+    out_toep = np.asarray(model_toep.apply(variables, rgb, rays, k4))
+    np.testing.assert_allclose(out_toep, out_conv, rtol=1e-4, atol=1e-4)
+
+
 def test_models_jit_with_bf16(rng):
     rgb, rays, k4 = make_inputs(rng, b=1)
     model = GeometryAwareNetwork(init_features=4, dtype=jnp.bfloat16)
