@@ -67,6 +67,11 @@ class SpatialGateConv(nn.Module):
     @nn.compact
     def __call__(self, p):
         k = self.kernel_size
+        if k % 2 != 1:
+            raise ValueError(
+                f"SpatialGateConv requires an odd kernel_size (got {k}): "
+                "with pad=k//2 the lowerings only agree on 'same' output "
+                "shapes for odd kernels")
         pad = k // 2
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (k, k, 2, 1), jnp.float32)

@@ -69,7 +69,6 @@ def trace_categories(trace_dir):
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X" or "dur" not in ev:
             continue
-        pid_name = ev.get("pid")
         name = ev.get("name", "")
         args = ev.get("args") or {}
         # TPU device tracks only: XLA ops carry a 'long_name'/hlo op
@@ -140,10 +139,11 @@ def main():
         float(jax.tree_util.tree_leaves(o[0].params)[0].ravel()[0])
     cats = trace_categories(trace_dir)
 
+    bsz = int(batch["rgb"].shape[0])
     tf_per_step = flops / 1e12
     res = {
         "ms_per_step": round(best, 2),
-        "img_per_sec": round(16 / best * 1e3, 1),
+        "img_per_sec": round(bsz / best * 1e3, 1),
         "tflop_per_step": round(tf_per_step, 3),
         "achieved_tflops": round(tf_per_step / (best / 1e3), 1),
         "pct_of_bf16_peak": round(

@@ -122,8 +122,7 @@ def test_model_sa_lowering_knob():
     cfg = config_from_dict({"model": {"sa_lowering": "conv"}})
     assert cfg.model.sa_lowering == "conv"
     assert config_from_dict({}).model.sa_lowering == "toeplitz"
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         config_from_dict({"model": {"sa_lowering": "winograd"}})
 
 
