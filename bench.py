@@ -162,7 +162,9 @@ def bench_device_resident(batch: int, steps: int, augment: bool = True,
                           windows: int = 1, height: int = HEIGHT,
                           width: int = WIDTH, chunk_samples: int = 0,
                           images_per_sensor: Optional[int] = None,
-                          quantized: bool = False):
+                          quantized: bool = False,
+                          architecture: str = "baseline_unet",
+                          **model_kw):
     """Train loop fed by the HBM-resident dataset: per-step H2D is a
     (B,) int32 index vector; gather + on-device augmentation run inside
     jitted programs. The TPU-native answer to host/interconnect-bound
@@ -181,9 +183,10 @@ def bench_device_resident(batch: int, steps: int, augment: bool = True,
     )
     from cadepth_tpu.data.packed import PackedSunRGBDLoader, pack_dataset
 
-    cfg, state, train_step, _ = _build("baseline_unet", batch,
+    cfg, state, train_step, _ = _build(architecture, batch,
                                        init_features=64,
-                                       height=height, width=width)
+                                       height=height, width=width,
+                                       **model_kw)
     with tempfile.TemporaryDirectory() as tmp:
         n_images = images_per_sensor or max(4 * batch // 4, 2)
         manifest = generate_synthetic_dataset(
