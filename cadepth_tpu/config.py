@@ -99,8 +99,8 @@ class ModelConfig:
     remat: bool = False  # gradient checkpointing for big configs
     # PCL warp backend: "two_pass" (gather-free GEMM warp — exact for
     # zero predicted rotation, <= |tan rot| px kernel displacement under
-    # it; the DEFAULT, ~15% faster than "auto"), "auto" (two_pass under
-    # a runtime rotation bound with exact gather fallback via lax.cond),
+    # it; the DEFAULT), "auto" (two_pass under a runtime rotation bound
+    # with exact gather fallback — ~2.7% slower since round 4),
     # "gather" (reference-parity grid_sample always), "separable"
     # (axis-aligned GEMM warp, drops rotation+shear). PERF_NOTES.md.
     pcl_warp: str = "two_pass"
