@@ -773,3 +773,196 @@ def test_lightweight_geometry_matches_torch(inputs):
     want = to_nhwc(t(nchw(rgb), nchw(rays), torch.from_numpy(k4)))
     assert param_count(p) == sum(q.numel() for q in t.parameters())
     np.testing.assert_allclose(out, want, atol=3e-3, rtol=1e-3)
+
+# ----------------------------------------------------------- gradient parity
+#
+# Backward-pass certification: the flax grads of each full model (through a
+# masked-mean scalar loss) are compared parameter-by-parameter against
+# torch autograd on the same oracle with the same ported weights. The flax
+# grad TREE is ported into a fresh torch oracle instance using the exact
+# same layout converters as the weights (conv kernel transposes, the
+# ConvTranspose spatial flip, dense transposes are all linear permutations,
+# so gradients transform identically), and compared against `.grad` on the
+# oracle that ran `loss.backward()`. This exercises every VJP the training
+# step uses: conv / conv-transpose / BN-train-mode backward, the FiLM BN
+# branch, CBAM gate products, and PCL's affine-grid + bilinear-resample
+# backward (`pcl_layer.h:29-181` semantics via warp_mode="gather").
+
+def _jax_model_grads(model, args, mask):
+    variables = model.init(jax.random.PRNGKey(0), *args, train=True)
+    params = variables["params"]
+    rest = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        out, _ = model.apply({"params": p, **rest}, *args, train=True,
+                             mutable=["batch_stats", "intermediates"])
+        return jnp.mean(out * mask)
+
+    grads = jax.grad(loss_fn)(params)
+    return jax.tree.map(np.asarray, params), jax.tree.map(np.asarray, grads)
+
+
+def _torch_backward(t, out, mask):
+    loss = (out * nchw(mask)).mean()
+    loss.backward()
+
+
+def _assert_grads_match(holder, oracle, tol):
+    """holder's parameters hold the flax grads (ported to torch layout);
+    oracle's parameters hold torch autograd's .grad.
+
+    film.fc{1,2}.bias feed straight into a train-mode BatchNorm1d, whose
+    mean subtraction makes their true gradient EXACTLY zero — both sides
+    are asserted ~0 instead of compared relatively (noise/noise ratios are
+    meaningless). Everything else is compared by per-tensor relative L2;
+    a whole-tree relative L2 bound (10x tighter) catches any systematic
+    bias that per-tensor noise tolerances could hide. Tolerances are set
+    by the fp32 conditioning of train-mode BN backward (1/std
+    amplification), measured at B=8; structural errors are O(1)."""
+    hp = dict(holder.named_parameters())
+    num = den = 0.0
+    for name, p in oracle.named_parameters():
+        assert p.grad is not None, name
+        g = p.grad.detach().numpy().astype(np.float64)
+        gh = hp[name].detach().numpy().astype(np.float64)
+        if name.endswith(("film.fc1.bias", "film.fc2.bias")):
+            assert np.abs(g).max() < 1e-5, f"{name}: torch grad not ~0"
+            assert np.abs(gh).max() < 1e-5, f"{name}: flax grad not ~0"
+            continue
+        num += float(np.sum((gh - g) ** 2))
+        den += float(np.sum(g ** 2))
+        scale = max(float(np.linalg.norm(g)), 1e-10)
+        err = float(np.linalg.norm(gh - g)) / scale
+        assert err < tol, f"{name}: rel-L2 grad err {err:.3e} (tol {tol})"
+    assert np.sqrt(num / max(den, 1e-20)) < tol / 10.0
+
+
+def test_baseline_unet_grads_match_torch(inputs, rng):
+    rgb, _, _ = inputs
+    mask = rng.uniform(size=(2, 32, 64, 1)).astype(np.float32)
+    model = BaselineUNet(init_features=8, dtype=jnp.float32)
+    params, grads = _jax_model_grads(model, (jnp.asarray(rgb),),
+                                     jnp.asarray(mask))
+    t = TBaselineUNet(f=8).train()
+    _load_baseline(t, params)
+    _torch_backward(t, t(nchw(rgb)), mask)
+    holder = TBaselineUNet(f=8)
+    _load_baseline(holder, grads)
+    _assert_grads_match(holder, t, tol=2e-3)
+
+
+def _film_inputs(rng, b=8, h=32, w=64):
+    """FiLM-bearing models run grad parity at B=8: the FiLM MLP's
+    BatchNorm1d normalizes over the BATCH of camera vectors, and at B=2
+    its backward is so ill-conditioned (1/std over 2 samples) that fp32
+    order-of-operations noise between torch's fused BN backward and
+    JAX's composed one reaches ~10% — at B=8 it is ~1e-3 (measured)."""
+    rgb = rng.uniform(size=(b, h, w, 3)).astype(np.float32)
+    rays = rng.standard_normal((b, h, w, 3)).astype(np.float32)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    k4 = (np.abs(rng.standard_normal((b, 4))) * 30 + 20).astype(np.float32)
+    mask = rng.uniform(size=(b, h, w, 1)).astype(np.float32)
+    return rgb, rays, k4, mask
+
+
+def test_intrinsics_unet_grads_match_torch(rng):
+    rgb, _, k4, mask = _film_inputs(rng)
+    model = IntrinsicsConditionedUNet(init_features=8, dtype=jnp.float32)
+    params, grads = _jax_model_grads(
+        model, (jnp.asarray(rgb), jnp.asarray(k4)), jnp.asarray(mask))
+    t = TIntrinsicsUNet(f=8).train()
+    _load_intrinsics(t, params)
+    _torch_backward(t, t(nchw(rgb), torch.from_numpy(k4)), mask)
+    holder = TIntrinsicsUNet(f=8)
+    _load_intrinsics(holder, grads)
+    _assert_grads_match(holder, t, tol=2e-2)
+
+
+def test_geometry_aware_grads_match_torch(rng):
+    rgb, rays, k4, mask = _film_inputs(rng)
+    model = GeometryAwareNetwork(init_features=8, dtype=jnp.float32,
+                                 pcl_warp="gather")
+    params, grads = _jax_model_grads(
+        model, (jnp.asarray(rgb), jnp.asarray(rays), jnp.asarray(k4)),
+        jnp.asarray(mask))
+    t = TGeometryNet(f=8, levels=5).train()
+    _load_geometry(t, params, levels=5)
+    _torch_backward(t, t(nchw(rgb), nchw(rays), torch.from_numpy(k4)), mask)
+    holder = TGeometryNet(f=8, levels=5)
+    _load_geometry(holder, grads, levels=5)
+    _assert_grads_match(holder, t, tol=2e-2)
+
+
+# ------------------------------------------------------- loss gradient parity
+
+def test_silog_loss_grad_matches_torch(rng):
+    """d(SILog)/d(pred) vs torch autograd on a literal re-statement of
+    `depth_loss.h:33-64` — certifies the fixed-shape masked `where`
+    reductions have the right VJP (incl. the clamp boundaries)."""
+    from cadepth_tpu.losses.depth_loss import scale_invariant_loss
+
+    pred = (0.1 + 10.0 * rng.uniform(size=(2, 16, 20, 1))).astype(np.float32)
+    gt = (10.0 * rng.uniform(size=(2, 16, 20, 1))).astype(np.float32)
+    gt[gt < 2.0] = 0.0  # exercise the validity mask
+
+    g_jax = np.asarray(jax.grad(
+        lambda p: scale_invariant_loss(p, jnp.asarray(gt)))(jnp.asarray(pred)))
+
+    tp = torch.tensor(pred, requires_grad=True)
+    tg = torch.tensor(gt)
+    mask = (tg > 1e-6).float()
+    d = (torch.log(torch.clamp(tp, 1e-6, 1000.0)) -
+         torch.log(torch.clamp(tg, 1e-6, 1000.0))) * mask
+    n = mask.sum()
+    loss = (d * d).sum() / n - 0.5 * d.sum() ** 2 / (n * n)
+    loss.backward()
+    np.testing.assert_allclose(g_jax, tp.grad.numpy(), atol=1e-6, rtol=1e-4)
+
+
+# ------------------------------------------------------- optimizer parity
+
+@pytest.mark.parametrize("name", ["adam", "adamw", "sgd"])
+def test_optimizer_updates_match_torch(name, rng):
+    """5 steps of the shipped optimizer factory (`trainer.h:24-92` settings:
+    adam/adamw/sgd+nesterov, global-norm clip 0.5) against torch.optim on
+    identical gradient sequences — final params equal to ~1e-6."""
+    import optax
+
+    from cadepth_tpu.config import OptimizationConfig
+    from cadepth_tpu.training.train_state import build_optimizer
+
+    shapes = [(4, 6), (3,), (2, 3, 3, 5)]
+    params = {f"p{i}": rng.standard_normal(s).astype(np.float32)
+              for i, s in enumerate(shapes)}
+    grad_steps = [{k: rng.standard_normal(v.shape).astype(np.float32)
+                   for k, v in params.items()} for _ in range(5)]
+
+    opt = OptimizationConfig(optimizer=name, learning_rate=1e-2,
+                             weight_decay=1e-2, gradient_clip=True,
+                             gradient_clip_value=0.5)
+    tx = build_optimizer(opt, optax.constant_schedule(opt.learning_rate))
+    jp = {k: jnp.asarray(v) for k, v in params.items()}
+    state = tx.init(jp)
+    for g in grad_steps:
+        updates, state = tx.update(
+            {k: jnp.asarray(v) for k, v in g.items()}, state, jp)
+        jp = optax.apply_updates(jp, updates)
+
+    tp = {k: torch.tensor(v, requires_grad=True) for k, v in params.items()}
+    plist = list(tp.values())
+    if name == "adam":
+        topt = torch.optim.Adam(plist, lr=1e-2, betas=(0.9, 0.999), eps=1e-8)
+    elif name == "adamw":
+        topt = torch.optim.AdamW(plist, lr=1e-2, betas=(0.9, 0.999),
+                                 eps=1e-8, weight_decay=1e-2)
+    else:
+        topt = torch.optim.SGD(plist, lr=1e-2, momentum=0.9, nesterov=True)
+    for g in grad_steps:
+        for k in tp:
+            tp[k].grad = torch.tensor(g[k])
+        torch.nn.utils.clip_grad_norm_(plist, 0.5)
+        topt.step()
+
+    for k in params:
+        np.testing.assert_allclose(np.asarray(jp[k]), tp[k].detach().numpy(),
+                                   atol=2e-6, rtol=1e-5)
