@@ -517,6 +517,15 @@ def main() -> None:
     phase("geometry_aware_b16_two_pass_img_per_sec", 25.0,
           bench_device_step, "geometry_aware", batch=16, steps=30,
           init_features=64, pcl_warp="two_pass")
+    # batch-knee figures (PERF_NOTES "Post-toeplitz flagship batch
+    # knee"): the per-chip ceilings live at larger batch than the
+    # longitudinal b16 points — track them so the knee is visible
+    phase("geometry_aware_b32_two_pass_img_per_sec", 20.0,
+          bench_device_step, "geometry_aware", batch=32, steps=20,
+          init_features=64, pcl_warp="two_pass")
+    phase("baseline_unet_b48_device_step_img_per_sec", 10.0,
+          bench_device_step, "baseline_unet", batch=48, steps=30,
+          windows=2, init_features=64)
     # the Mosaic kernel path: parity-verified on chip (round 4) but
     # measured slower in-model than the XLA two-pass (123 vs 136 —
     # PERF_NOTES round-4 Mosaic section); tracked here so regressions
