@@ -401,7 +401,11 @@ def main() -> None:
     # nothing on stdout); ~11 min is safely inside the observed window.
     watchdog_min = _minutes_env("CADEPTH_BENCH_WATCHDOG_MIN", 11.0)
     headline_deadline_min = _minutes_env("CADEPTH_BENCH_HEADLINE_MIN", 8.0)
-    total_min = _minutes_env("CADEPTH_BENCH_TOTAL_MIN", 120.0)
+    # Total budget must beat the driver's kill (~29 min observed:
+    # BENCH_r04 rc=124, log truncated at +1720s) — 24 min exits rc=0
+    # with every completed phase in BENCH_DETAIL.json; cold-cache runs
+    # skip tail phases with explicit *_skipped fields instead of dying.
+    total_min = _minutes_env("CADEPTH_BENCH_TOTAL_MIN", 24.0)
 
     reporter = _Reporter()
     watchdog = _arm_watchdog(reporter, watchdog_min)
@@ -492,12 +496,28 @@ def main() -> None:
     def budget_left() -> float:
         return total_min - (time.time() - _T0) / 60.0
 
+    def _quiesce():
+        # Drain the tunnel's program queue before a timed phase: a tiny
+        # jitted op + device->host readback (the only reliable fence
+        # here — see hard_sync). Residual enqueued work from a previous
+        # phase otherwise steals the first timing window (suspected
+        # mechanism of BENCH_r04's 97.6 vs 139 b16 flagship figure).
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            x = jax.jit(lambda v: (v * 2.0).sum())(jnp.ones((128,)))
+            np.asarray(x).ravel()[0]
+        except Exception:  # noqa: BLE001 - quiesce is best-effort
+            pass
+
     def phase(key: str, min_budget: float, fn, *args, **kw):
         if budget_left() < min_budget:
             detail[f"{key}_skipped"] = (
                 f"budget: {budget_left():.1f} min left < {min_budget}")
             _progress(f"phase {key} skipped (budget)")
             return None
+        _quiesce()
         _progress(f"phase {key} (budget left {budget_left():.0f} min)")
         try:
             out = fn(*args, **kw)
@@ -511,50 +531,62 @@ def main() -> None:
         finally:
             flush_detail()
 
-    phase("geometry_aware_device_step_img_per_sec", 25.0,
+    # Phase order is VALUE order (VERDICT r4 item 1b + ADVICE r4): the
+    # longitudinal flagship + production figures first, serving latency
+    # next, knee/regression trackers after, and the chunked-fed phases
+    # (known wire-pathological on this tunnel container) last. A budget
+    # kill therefore always truncates from the least-valuable tail.
+    # min_budget per phase ~= its observed cold-cache cost in minutes.
+    phase("geometry_aware_b16_two_pass_img_per_sec", 3.0,
+          bench_device_step, "geometry_aware", batch=16, steps=30,
+          windows=2, init_features=64, pcl_warp="two_pass")
+    phase("geometry_aware_device_step_img_per_sec", 3.0,
           bench_device_step, "geometry_aware", batch=4, steps=30,
           init_features=64)
-    phase("geometry_aware_b16_two_pass_img_per_sec", 25.0,
-          bench_device_step, "geometry_aware", batch=16, steps=30,
-          init_features=64, pcl_warp="two_pass")
+    # the production YAML's setting (480x640 f96; b8 is the measured
+    # per-chip optimum among configs the tunneled compiler accepts —
+    # PERF_NOTES "production geometry re-bench")
+    phase("geometry_aware_f96_480x640_b8_img_per_sec", 3.0,
+          bench_device_step, "geometry_aware", batch=8, steps=6,
+          windows=2, height=480, width=640, init_features=96)
+    dstep480 = phase("baseline_unet_480x640_device_step_img_per_sec", 1.5,
+                     bench_device_step, "baseline_unet", batch=16, steps=10,
+                     windows=2, init_features=64, height=480, width=640)
+    phase("predictor_single_image_ms", 2.0, bench_predictor_latency)
+    phase("predictor_batched_b8", 1.5, bench_predictor_batched, batch=8)
+    phase("predictor_batched_b16", 1.5, bench_predictor_batched, batch=16)
     # batch-knee figures (PERF_NOTES "Post-toeplitz flagship batch
     # knee"): the per-chip ceilings live at larger batch than the
     # longitudinal b16 points — track them so the knee is visible
-    phase("geometry_aware_b32_two_pass_img_per_sec", 20.0,
+    phase("geometry_aware_b32_two_pass_img_per_sec", 2.0,
           bench_device_step, "geometry_aware", batch=32, steps=20,
-          init_features=64, pcl_warp="two_pass")
-    phase("baseline_unet_b48_device_step_img_per_sec", 10.0,
+          windows=2, init_features=64, pcl_warp="two_pass")
+    phase("baseline_unet_b48_device_step_img_per_sec", 1.0,
           bench_device_step, "baseline_unet", batch=48, steps=30,
           windows=2, init_features=64)
     # the Mosaic kernel path: parity-verified on chip (round 4) but
     # measured slower in-model than the XLA two-pass (123 vs 136 —
     # PERF_NOTES round-4 Mosaic section); tracked here so regressions
     # or compiler improvements show up longitudinally
-    phase("geometry_aware_b16_pallas_img_per_sec", 25.0,
+    phase("geometry_aware_b16_pallas_img_per_sec", 2.5,
           bench_device_step, "geometry_aware", batch=16, steps=30,
-          init_features=64, pcl_warp="pallas")
-    # the production YAML's setting (480x640 f96; b8 is the measured
-    # per-chip optimum among configs the tunneled compiler accepts —
-    # PERF_NOTES "production geometry re-bench")
-    phase("geometry_aware_f96_480x640_b8_img_per_sec", 25.0,
-          bench_device_step, "geometry_aware", batch=8, steps=6,
-          windows=2, height=480, width=640, init_features=96)
-    if phase("baseline_unet_pipeline_fed_img_per_sec", 10.0,
+          windows=2, init_features=64, pcl_warp="pallas")
+    if phase("baseline_unet_pipeline_fed_img_per_sec", 2.0,
              bench_pipeline_fed, batch=16, steps=20) is not None:
         detail["pipeline_note"] = (
             "host-decode-in-loop on a %s-core container; TPU-VM hosts have "
             "~100+ cores" % (os.cpu_count() or 1))
-    phase("baseline_unet_packed_fed_img_per_sec", 10.0,
+    phase("baseline_unet_packed_fed_img_per_sec", 2.0,
           bench_pipeline_fed, batch=16, steps=20, packed=True)
     # production-resolution capacity story: the full 480x640 pack cannot
     # sit in HBM, so the chunk-rotating feed is the honest fed number to
-    # compare against the pre-staged device step
-    dstep480 = phase("baseline_unet_480x640_device_step_img_per_sec", 20.0,
-                     bench_device_step, "baseline_unet", batch=16, steps=10,
-                     windows=2, init_features=64, height=480, width=640)
-    fed480 = phase("baseline_unet_480x640_chunked_fed_img_per_sec", 15.0,
-                   bench_device_resident, batch=16, steps=20, augment=True,
-                   windows=2, height=480, width=640, chunk_samples=64,
+    # compare against the pre-staged device step. These run LAST: the
+    # tunnel's ~50 MB/s wire makes them slow AND pathological here
+    # (PERF_NOTES "the tunnel's true wire rate"), so they are the right
+    # phases to lose to the budget.
+    fed480 = phase("baseline_unet_480x640_chunked_fed_img_per_sec", 3.0,
+                   bench_device_resident, batch=16, steps=10, augment=True,
+                   height=480, width=640, chunk_samples=64,
                    images_per_sensor=32)
     if fed480 and dstep480:
         detail["chunked_fed_fraction_of_device_step"] = \
@@ -562,15 +594,12 @@ def main() -> None:
     # quantized storage (rgb u8 / depth u16 mm): 3.2x less H2D per
     # chunk — the recommended chunked setting
     fed480q = phase("baseline_unet_480x640_chunked_quant_fed_img_per_sec",
-                    15.0, bench_device_resident, batch=16, steps=20,
-                    augment=True, windows=2, height=480, width=640,
+                    2.5, bench_device_resident, batch=16, steps=10,
+                    augment=True, height=480, width=640,
                     chunk_samples=64, images_per_sensor=32, quantized=True)
     if fed480q and dstep480:
         detail["chunked_quant_fed_fraction_of_device_step"] = \
             round(fed480q / dstep480, 3)
-    phase("predictor_single_image_ms", 8.0, bench_predictor_latency)
-    phase("predictor_batched_b8", 8.0, bench_predictor_batched, batch=8)
-    phase("predictor_batched_b16", 8.0, bench_predictor_batched, batch=16)
 
     exit_timer.cancel()
     print(json.dumps(detail, indent=2), file=sys.stderr)

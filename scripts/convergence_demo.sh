@@ -97,3 +97,11 @@ print("QUALITY TARGETS (reference 'excellent' thresholds):",
       "PASSED" if ok else "FAILED")
 raise SystemExit(0 if ok else 1)
 EOF
+
+# Camera-conditioned models: also assert the TRAINED network actually
+# uses its conditioning (training-time analogue of the reference's
+# conditioning test, tests/test_models.cpp:248-288).
+if [[ "$ARCH" != "baseline_unet" ]]; then
+  python scripts/probe_conditioning.py --config "$WORKDIR/demo_config.yaml" \
+      --checkpoint latest ${PLATFORM:+--platform "$PLATFORM"}
+fi
