@@ -118,8 +118,12 @@ def composed_upconv_warp(x, k, theta):
     big_h, big_w = 2 * h, 2 * w
     cout = k.shape[-1]
     dt = x.dtype if x.dtype == jnp.float32 else jnp.bfloat16
+    # lax.conv_transpose applies the kernel spatially FLIPPED
+    # (y[2i+p, 2j+q] = sum_c x[i,j,c] K[1-p, 1-q, c, d] — verified
+    # empirically); flip once here so phase p/q means output parity.
+    kf = k[::-1, ::-1].astype(x.dtype)
     # one (h*w, Cin) @ (Cin, 2*2*Cout) GEMM builds every phase at once
-    t = jnp.einsum("bijc,pqcd->bpijqd", x, k.astype(x.dtype),
+    t = jnp.einsum("bijc,pqcd->bpijqd", x, kf,
                    preferred_element_type=jnp.float32).astype(dt)
     z = t.reshape(b, 2, h, big_w, cout)     # (j,q)->2j+q width interleave
     _, _, _, _, e, f = affine_pixel_coeffs(theta, big_h, big_w, False)
@@ -186,7 +190,12 @@ def main() -> None:
         compiled = jf.lower(x, k_up, k2, theta).compile()
         gb = copy_gbytes(compiled)
         ms = timeit(jf, x, k_up, k2, theta)
-        fwd_ms = timeit(jax.jit(block), x, k_up, k2, theta)
+        # forward timing must read back a SCALAR — np.asarray of the
+        # full (B,2h,2w,C) output crosses the ~8.6 MB/s D2H tunnel and
+        # dominates the window (~0.9 s/step measured)
+        fwd_scalar = jax.jit(
+            lambda *a: block(*a).astype(jnp.float32).sum())
+        fwd_ms = timeit(fwd_scalar, x, k_up, k2, theta)
         report[name] = {"fwd_ms": round(fwd_ms, 2),
                         "fwd_bwd_ms": round(ms, 2), "copy_gb": gb}
         print(f"{name:9s} fwd {fwd_ms:6.2f} ms   fwd+bwd {ms:6.2f} ms   "
