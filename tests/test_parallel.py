@@ -141,7 +141,10 @@ def test_two_process_distributed_dp_step(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            # Isolated this takes ~3 min on the 1-core host; give ample
+            # headroom for suite-concurrent load (a parallel training run
+            # once pushed it past 240 s and flaked the full suite).
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
